@@ -1,0 +1,302 @@
+"""Kernel-level oracle tests: encodings, ray marching, sampling."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from uncertainty_nerf_gs_tpu.ops.activations import trunc_exp, shifted_softplus
+from uncertainty_nerf_gs_tpu.ops.encodings import (
+    HashEncoding,
+    hash_encoding_lookup,
+    hash_grid_resolutions,
+    nerf_encoding,
+    sh_encoding,
+)
+from uncertainty_nerf_gs_tpu.ops.raymarch import (
+    depth_variance,
+    distortion_loss,
+    interlevel_loss,
+    render_accumulation,
+    render_expected_depth,
+    render_median_depth,
+    render_rgb,
+    render_uncertainty,
+    render_weights,
+    _outer_measure,
+)
+from uncertainty_nerf_gs_tpu.ops.sampling import (
+    RayBundle,
+    sample_pdf,
+    sample_uniform,
+    spacing_piecewise,
+    spacing_piecewise_inv,
+)
+from uncertainty_nerf_gs_tpu.ops.spatial import scene_contraction, contract_to_unit_cube
+
+
+# ---------------------------------------------------------------- activations
+
+
+def test_trunc_exp_forward_and_clipped_grad():
+    x = jnp.array([-20.0, 0.0, 3.0, 20.0])
+    np.testing.assert_allclose(np.asarray(trunc_exp(x)), np.exp(np.asarray(x)), rtol=1e-5)
+    g = jax.grad(lambda v: trunc_exp(v).sum())(x)
+    # gradient input clamped to [-15, 15]
+    np.testing.assert_allclose(float(g[-1]), np.exp(15.0), rtol=1e-5)
+    np.testing.assert_allclose(float(g[0]), np.exp(-15.0), rtol=1e-5)
+
+
+def test_shifted_softplus_floor():
+    x = jnp.array([-100.0, 0.0, 5.0])
+    out = shifted_softplus(x, beta_min=0.01)
+    assert float(out.min()) >= 0.01 - 1e-7
+
+
+# ----------------------------------------------------------------- encodings
+
+
+def test_sh_encoding_constant_and_shape(rng):
+    d = rng.normal(size=(50, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    out = np.asarray(sh_encoding(jnp.asarray(d), levels=4))
+    assert out.shape == (50, 16)
+    np.testing.assert_allclose(out[:, 0], 0.28209479, rtol=1e-5)
+
+
+def test_sh_encoding_orthonormal(rng):
+    # Monte-Carlo check: int Y_i Y_j dOmega ~ delta_ij (components are
+    # orthonormal on the sphere) => 4*pi*mean(Y_i Y_j) ~ I
+    n = 200_000
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    y = np.asarray(sh_encoding(jnp.asarray(d), levels=3))
+    gram = 4.0 * np.pi * (y.T @ y) / n
+    np.testing.assert_allclose(gram, np.eye(9), atol=0.05)
+
+
+def test_nerf_encoding_shape_and_values():
+    x = jnp.array([[0.25, 0.5]])
+    out = nerf_encoding(x, num_frequencies=3, min_freq_exp=0.0, max_freq_exp=2.0)
+    assert out.shape == (1, 12)
+    out_inc = nerf_encoding(x, num_frequencies=3, include_input=True)
+    assert out_inc.shape == (1, 14)
+
+
+def test_hash_encoding_matches_dense_trilinear(rng):
+    """On a single dense level, hash lookup == direct trilinear interp."""
+    res = 4
+    table_size = (res + 1) ** 3  # dense path
+    feats = 2
+    table = jnp.asarray(rng.normal(size=(1, table_size, feats)).astype(np.float32))
+    pts = jnp.asarray(rng.uniform(0, 1, size=(40, 3)).astype(np.float32))
+    out = np.asarray(
+        hash_encoding_lookup(table, pts, jnp.array([res], jnp.int32))
+    )
+
+    def dense_lookup(p):
+        scaled = np.asarray(p) * res
+        base = np.floor(scaled).astype(int)
+        frac = scaled - base
+        acc = np.zeros(feats, np.float32)
+        for dx in (0, 1):
+            for dy in (0, 1):
+                for dz in (0, 1):
+                    cx, cy, cz = base + np.array([dx, dy, dz])
+                    w = (
+                        (frac[0] if dx else 1 - frac[0])
+                        * (frac[1] if dy else 1 - frac[1])
+                        * (frac[2] if dz else 1 - frac[2])
+                    )
+                    idx = cx + (res + 1) * 0 + (cy + cz * (res + 1)) * (res + 1)
+                    # dense index: x + res*(y + res*z) per implementation
+                    idx = cx + res * (cy + res * cz)
+                    acc += w * np.asarray(table[0, idx % table_size])
+        return acc
+
+    expected = np.stack([dense_lookup(p) for p in np.asarray(pts)])
+    np.testing.assert_allclose(out, expected, rtol=1e-4, atol=1e-6)
+
+
+def test_hash_encoding_module_grads(rng):
+    enc = HashEncoding(num_levels=4, min_res=4, max_res=32, log2_hashmap_size=8)
+    pts = jnp.asarray(rng.uniform(0.1, 0.9, size=(16, 3)).astype(np.float32))
+    params = enc.init(jax.random.PRNGKey(0), pts)
+    out = enc.apply(params, pts)
+    assert out.shape == (16, 8)
+
+    def loss(p):
+        return jnp.sum(enc.apply(p, pts) ** 2)
+
+    g = jax.grad(loss)(params)
+    table_grad = g["params"]["table"]
+    assert np.isfinite(np.asarray(table_grad)).all()
+    assert float(jnp.abs(table_grad).sum()) > 0
+
+
+def test_hash_grid_resolutions_growth():
+    res = np.asarray(hash_grid_resolutions(16, 16, 2048))
+    assert res[0] == 16 and res[-1] == 2048
+    assert (np.diff(res) >= 0).all()
+
+
+# ------------------------------------------------------------------- spatial
+
+
+def test_scene_contraction_inside_identity_outside_bounded(rng):
+    inside = jnp.asarray(rng.uniform(-0.5, 0.5, (10, 3)).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(scene_contraction(inside)), np.asarray(inside))
+    far = jnp.asarray(rng.uniform(10, 100, (10, 3)).astype(np.float32))
+    out = np.asarray(scene_contraction(far))
+    assert (np.abs(out) < 2.0).all()
+    cube = np.asarray(contract_to_unit_cube(far))
+    assert (cube >= 0).all() and (cube <= 1).all()
+
+
+# ------------------------------------------------------------------ raymarch
+
+
+def test_render_weights_matches_bruteforce(rng):
+    R, S = 6, 32
+    dens = jnp.asarray(rng.uniform(0, 3, (R, S)).astype(np.float32))
+    deltas = jnp.asarray(rng.uniform(0.01, 0.1, (R, S)).astype(np.float32))
+    w = np.asarray(render_weights(dens, deltas))
+
+    tau = np.asarray(dens) * np.asarray(deltas)
+    expected = np.zeros((R, S), np.float32)
+    for r in range(R):
+        T = 1.0
+        for i in range(S):
+            a = 1 - np.exp(-tau[r, i])
+            expected[r, i] = a * T
+            T *= np.exp(-tau[r, i])
+    np.testing.assert_allclose(w, expected, rtol=1e-3, atol=1e-5)
+    assert (w.sum(-1) <= 1.0 + 1e-5).all()
+
+
+def test_renderers(rng):
+    R, S = 4, 16
+    w = rng.uniform(0, 1, (R, S)).astype(np.float32)
+    w /= w.sum(-1, keepdims=True) * 1.5  # acc < 1
+    rgbs = rng.uniform(0, 1, (R, S, 3)).astype(np.float32)
+    steps = np.sort(rng.uniform(0.1, 5, (R, S)).astype(np.float32), axis=-1)
+    bg = np.ones(3, np.float32)
+
+    comp = np.asarray(render_rgb(jnp.asarray(w), jnp.asarray(rgbs), jnp.asarray(bg)))
+    acc = w.sum(-1, keepdims=True)
+    np.testing.assert_allclose(
+        comp, (w[..., None] * rgbs).sum(1) + (1 - acc) * bg, rtol=1e-5
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(render_accumulation(jnp.asarray(w))), w.sum(-1), rtol=1e-6
+    )
+
+    d = np.asarray(render_expected_depth(jnp.asarray(w), jnp.asarray(steps)))
+    np.testing.assert_allclose(
+        d, (w * steps).sum(-1) / (w.sum(-1) + 1e-10), rtol=1e-5
+    )
+
+    md = np.asarray(render_median_depth(jnp.asarray(w), jnp.asarray(steps)))
+    assert ((md >= steps[:, 0]) & (md <= steps[:, -1])).all()
+
+    unc = np.asarray(render_uncertainty(jnp.asarray(rgbs[..., 0]), jnp.asarray(w**2)))
+    np.testing.assert_allclose(unc, (rgbs[..., 0] * w**2).sum(-1), rtol=1e-5)
+
+    dv = np.asarray(depth_variance(jnp.asarray(w), jnp.asarray(steps), jnp.asarray(d)))
+    np.testing.assert_allclose(
+        dv, (w * (steps - d[:, None]) ** 2).sum(-1) + 1e-5, rtol=1e-4
+    )
+
+
+def test_distortion_loss_matches_quadratic_reference(rng):
+    R, S = 3, 24
+    edges = np.sort(rng.uniform(0, 1, (R, S + 1)).astype(np.float32), axis=-1)
+    w = rng.uniform(0, 1, (R, S)).astype(np.float32) * 0.05
+    got = float(distortion_loss(jnp.asarray(edges), jnp.asarray(w)))
+
+    mids = 0.5 * (edges[:, 1:] + edges[:, :-1])
+    deltas = edges[:, 1:] - edges[:, :-1]
+    expected = 0.0
+    for r in range(R):
+        pair = np.abs(mids[r][:, None] - mids[r][None, :])
+        expected += (w[r][:, None] * w[r][None, :] * pair).sum()
+        expected += (w[r] ** 2 * deltas[r]).sum() / 3.0
+    expected /= R
+    np.testing.assert_allclose(got, expected, rtol=1e-4)
+
+
+def test_outer_measure_bruteforce(rng):
+    R = 2
+    t1 = np.sort(rng.uniform(0, 1, (R, 9)).astype(np.float32), axis=-1)
+    w1 = rng.uniform(0, 1, (R, 8)).astype(np.float32)
+    t0 = np.sort(rng.uniform(0, 1, (R, 6)).astype(np.float32), axis=-1)
+    got = np.asarray(_outer_measure(jnp.asarray(t0), None, jnp.asarray(t1), jnp.asarray(w1)))
+
+    expected = np.zeros((R, 5), np.float32)
+    for r in range(R):
+        for i in range(5):
+            lo, hi = t0[r, i], t0[r, i + 1]
+            # sum of w1 bins [t1_j, t1_{j+1}] overlapping [lo, hi] per the
+            # inner/outer cumulative formulation
+            idx_lo = np.clip(np.searchsorted(t1[r], lo, side="right") - 1, 0, 8)
+            idx_hi = np.clip(np.searchsorted(t1[r], hi, side="left"), 0, 8)
+            expected[r, i] = w1[r, idx_lo:idx_hi].sum()
+    np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-6)
+
+
+def test_interlevel_loss_zero_when_covered(rng):
+    R, S = 4, 16
+    edges = jnp.broadcast_to(jnp.linspace(0, 1, S + 1), (R, S + 1))
+    w = jnp.asarray(rng.uniform(0, 0.05, (R, S)).astype(np.float32))
+    # proposal == final histogram -> fully covers -> zero loss
+    loss = float(interlevel_loss(edges, w, [edges], [w]))
+    assert loss < 1e-10
+
+
+# ------------------------------------------------------------------ sampling
+
+
+def _bundle(num_rays=8, near=0.05, far=10.0):
+    o = jnp.zeros((num_rays, 3))
+    d = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (num_rays, 1))
+    return RayBundle(
+        origins=o,
+        directions=d,
+        nears=jnp.full((num_rays,), near),
+        fars=jnp.full((num_rays,), far),
+        camera_indices=jnp.zeros((num_rays,), jnp.int32),
+    )
+
+
+def test_spacing_roundtrip(rng):
+    t = jnp.asarray(rng.uniform(0.01, 100, 50).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(spacing_piecewise_inv(spacing_piecewise(t))), np.asarray(t), rtol=1e-4
+    )
+
+
+def test_uniform_sampler_monotone_and_in_range():
+    rb = _bundle()
+    rs = sample_uniform(rb, 32)
+    starts, ends = np.asarray(rs.starts), np.asarray(rs.ends)
+    assert (ends > starts).all()
+    assert starts.min() >= 0.05 - 1e-5 and ends.max() <= 10.0 + 1e-4
+    rs_j = sample_uniform(rb, 32, key=jax.random.PRNGKey(0))
+    assert (np.asarray(rs_j.ends) > np.asarray(rs_j.starts)).all()
+
+
+def test_pdf_sampler_concentrates_mass():
+    rb = _bundle(num_rays=4)
+    rs = sample_uniform(rb, 64)
+    # weight histogram peaked in bins 20..24
+    w = np.zeros((4, 64), np.float32)
+    w[:, 20:25] = 1.0
+    rs2 = sample_pdf(rb, rs.spacing_edges, jnp.asarray(w), 32)
+    mids_s = np.asarray(0.5 * (rs2.spacing_edges[:, 1:] + rs2.spacing_edges[:, :-1]))
+    lo = 20 / 64.0
+    hi = 25 / 64.0
+    frac_inside = ((mids_s >= lo - 0.02) & (mids_s <= hi + 0.02)).mean()
+    assert frac_inside > 0.7
+    # edges sorted
+    assert (np.diff(np.asarray(rs2.spacing_edges), axis=-1) >= 0).all()

@@ -1,0 +1,34 @@
+"""Activations for radiance fields.
+
+``trunc_exp`` mirrors nerfstudio's truncated exponential (consumed by the
+reference fields, e.g. `/root/reference/nerfuncertainty/models/laplace/
+laplace_field.py` density activation choice): forward is ``exp(x)``, backward
+clamps the input to [-15, 15] so density gradients cannot overflow in bf16.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.custom_vjp
+def trunc_exp(x: jax.Array) -> jax.Array:
+    return jnp.exp(x)
+
+
+def _trunc_exp_fwd(x):
+    return jnp.exp(x), x
+
+
+def _trunc_exp_bwd(x, g):
+    return (g * jnp.exp(jnp.clip(x, -15.0, 15.0)),)
+
+
+trunc_exp.defvjp(_trunc_exp_fwd, _trunc_exp_bwd)
+
+
+def shifted_softplus(x: jax.Array, beta_min: float = 0.0) -> jax.Array:
+    """Softplus + beta_min floor, the aleatoric-variance activation
+    (`activenerfacto_field.py:120-121,190` semantics)."""
+    return jax.nn.softplus(x) + beta_min
