@@ -5,7 +5,12 @@ Must set env vars before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The machine env pre-sets JAX_PLATFORMS=axon (the remote TPU tunnel); tests
+# must run on the virtual 8-device CPU mesh, so FORCE the override.
+os.environ["JAX_PLATFORMS"] = "cpu"
+# Async CPU dispatch deadlocks intermittently on single-core hosts (result
+# futures never resolve); force synchronous dispatch for tests.
+os.environ.setdefault("JAX_CPU_ENABLE_ASYNC_DISPATCH", "0")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -18,6 +23,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import pytest
+
+# Persistent compilation cache: XLA-CPU compilation on this 1-vCPU VM is
+# intermittently very slow (thread-handoff latency); cache compiles on disk
+# so repeated test runs skip them.
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 @pytest.fixture

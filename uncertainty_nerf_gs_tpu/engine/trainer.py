@@ -1,0 +1,201 @@
+"""Training loop for the nerfacto family.
+
+TPU-native equivalent of nerfstudio's ``Trainer`` + ``VanillaPipeline``
+combination the reference rides (SURVEY §3.1 call stack): per step a batch
+of rays is gathered from the cached images, the model forward + losses run
+under one jit, and per-group Adam updates apply. Ray generation happens
+*inside* the loss so camera-optimizer pose tangents receive gradients
+(nerfstudio applies its CameraOptimizer the same way).
+
+The train step is built once and jitted; the pixel sampler keeps shapes
+static (fixed rays/batch). Multi-device data parallelism shards the ray
+axis (see `parallel/`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from uncertainty_nerf_gs_tpu.cameras.cameras import Cameras, generate_rays
+from uncertainty_nerf_gs_tpu.engine.optimizers import (
+    DEFAULT_GROUPS,
+    OptimizerGroupConfig,
+    make_optimizer,
+)
+from uncertainty_nerf_gs_tpu.models.nerfacto import (
+    NerfactoConfig,
+    NerfactoModel,
+    nerfacto_loss,
+    proposal_anneal_factor,
+)
+from uncertainty_nerf_gs_tpu.ops.sampling import RayBundle
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+@dataclasses.dataclass
+class NerfactoTrainer:
+    """Owns model, params, optimizer, and the jitted step.
+
+    Args:
+      config: model config.
+      cameras: training cameras.
+      images: (N, H, W, 3) float32 training images in [0, 1].
+      use_camera_optimizer: adds a (N, 6) SO3xR3 pose-tangent param group.
+    """
+
+    config: NerfactoConfig
+    cameras: Cameras
+    images: np.ndarray
+    seed: int = 0
+    use_camera_optimizer: bool = False
+    optimizer_groups: dict[str, OptimizerGroupConfig] | None = None
+
+    def __post_init__(self):
+        self.model = NerfactoModel(self.config)
+        key = jax.random.PRNGKey(self.seed)
+        h, w = self.cameras.height, self.cameras.width
+        dummy_rb = RayBundle(
+            origins=jnp.zeros((4, 3)),
+            directions=jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (4, 1)),
+            nears=jnp.zeros((4,)),
+            fars=jnp.ones((4,)),
+            camera_indices=jnp.zeros((4,), jnp.int32),
+        )
+        variables = self.model.init(
+            {"params": key, "dropout": key}, dummy_rb, train=False
+        )
+        params = dict(variables["params"])
+        if self.use_camera_optimizer:
+            params["camera_opt"] = jnp.zeros((len(self.cameras), 6), jnp.float32)
+        self.tx = make_optimizer(params, self.optimizer_groups or DEFAULT_GROUPS)
+        self.state = TrainState(
+            params=params, opt_state=self.tx.init(params), step=jnp.zeros((), jnp.int32)
+        )
+        self.images_dev = jnp.asarray(self.images, jnp.float32)
+        self._train_step = jax.jit(self._train_step_impl)
+
+    # ------------------------------------------------------------------ data
+    def sample_batch(self, key: jax.Array, num_rays: int) -> dict[str, jax.Array]:
+        """Uniform pixel sampler over the cached image stack (device-side)."""
+        n, h, w = self.images_dev.shape[:3]
+        k1, k2, k3 = jax.random.split(key, 3)
+        cam_idx = jax.random.randint(k1, (num_rays,), 0, n)
+        px = jax.random.randint(k2, (num_rays,), 0, w)
+        py = jax.random.randint(k3, (num_rays,), 0, h)
+        rgb = self.images_dev[cam_idx, py, px]
+        return {
+            "camera_indices": cam_idx,
+            "pixel_x": px.astype(jnp.float32),
+            "pixel_y": py.astype(jnp.float32),
+            "image": rgb,
+        }
+
+    # ------------------------------------------------------------------ step
+    def _loss_fn(self, params, batch, rng, step):
+        pose_adj = params.get("camera_opt") if self.use_camera_optimizer else None
+        rb = generate_rays(
+            self.cameras,
+            batch["camera_indices"],
+            batch["pixel_x"],
+            batch["pixel_y"],
+            pose_adjustment=pose_adj,
+        )
+        anneal = proposal_anneal_factor(step, self.config)
+        k_model, k_dropout = jax.random.split(rng)
+        model_params = {k: v for k, v in params.items() if k != "camera_opt"}
+        outputs = self.model.apply(
+            {"params": model_params},
+            rb,
+            train=True,
+            rngs_key=k_model,
+            proposal_anneal=anneal,
+            deterministic_dropout=self.config.dropout_rate == 0.0,
+            rngs={"dropout": k_dropout},
+        )
+        total, losses = nerfacto_loss(outputs, batch, self.config)
+        return total, losses
+
+    def _train_step_impl(self, state: TrainState, batch, rng):
+        (total, losses), grads = jax.value_and_grad(self._loss_fn, has_aux=True)(
+            state.params, batch, rng, state.step
+        )
+        updates, new_opt_state = self.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(new_params, new_opt_state, state.step + 1)
+        losses["total_loss"] = total
+        return new_state, losses
+
+    def train(
+        self,
+        num_steps: int,
+        num_rays_per_batch: int = 4096,
+        log_every: int = 0,
+        callback: Callable[[int, dict], None] | None = None,
+    ) -> dict[str, float]:
+        key = jax.random.PRNGKey(self.seed + 1)
+        losses = {}
+        for i in range(num_steps):
+            key, k_batch, k_step = jax.random.split(key, 3)
+            batch = self.sample_batch(k_batch, num_rays_per_batch)
+            self.state, losses = self._train_step(self.state, batch, k_step)
+            if log_every and (i + 1) % log_every == 0:
+                msg = {k: float(v) for k, v in losses.items()}
+                print(f"step {i + 1}: " + ", ".join(f"{k}={v:.4f}" for k, v in msg.items()))
+            if callback is not None:
+                callback(i, losses)
+        return {k: float(v) for k, v in losses.items()}
+
+    # ------------------------------------------------------------- rendering
+    @functools.cached_property
+    def _render_chunk(self):
+        def impl(params, rb: RayBundle):
+            model_params = {k: v for k, v in params.items() if k != "camera_opt"}
+            return self.model.apply(
+                {"params": model_params}, rb, train=False,
+                use_average_appearance=False,
+            )
+
+        return jax.jit(impl)
+
+    def render_image(self, camera_idx: int, chunk: int | None = None) -> dict[str, np.ndarray]:
+        """Full-image render in fixed-size chunks (static shapes under jit)."""
+        from uncertainty_nerf_gs_tpu.cameras.cameras import pixel_grid
+
+        chunk = chunk or self.config.eval_num_rays_per_chunk
+        h, w = self.cameras.height, self.cameras.width
+        px, py = pixel_grid(h, w)
+        total = h * w
+        pad = (-total) % chunk
+        px = jnp.concatenate([px, jnp.zeros((pad,))])
+        py = jnp.concatenate([py, jnp.zeros((pad,))])
+        idx = jnp.full((total + pad,), camera_idx, jnp.int32)
+        outs: dict[str, list] = {}
+        for start in range(0, total + pad, chunk):
+            rb = generate_rays(
+                self.cameras,
+                idx[start : start + chunk],
+                px[start : start + chunk],
+                py[start : start + chunk],
+            )
+            chunk_out = self._render_chunk(self.state.params, rb)
+            for k, v in chunk_out.items():
+                if k in ("weights_list", "sdist_list", "density_mean"):
+                    continue
+                outs.setdefault(k, []).append(np.asarray(v))
+        images = {}
+        for k, parts in outs.items():
+            flat = np.concatenate(parts, axis=0)[:total]
+            images[k] = flat.reshape((h, w) + flat.shape[1:])
+        return images

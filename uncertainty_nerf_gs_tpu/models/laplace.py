@@ -1,0 +1,250 @@
+"""Post-hoc linearized Laplace approximation over the last field layers.
+
+TPU-native rebuild of the reference's nerfacto-laplace method
+(`/root/reference/nerfuncertainty/models/laplace/laplace_model.py`,
+`laplace_field.py`), with two algorithmic upgrades that keep identical
+semantics:
+
+1. **GGN fit** — the reference accumulates the diagonal GGN of the training
+   MSE loss w.r.t. the two last linear layers by backprop against every
+   one-hot unit vector (O(dim^2) backward passes; `laplace_model.py:
+   343-400`). For last-layer parameters the diagonal GGN is
+   ``sum_{rays,channels} H_mse * (d rgb / d theta)^2`` exactly; we compute
+   per-ray Jacobians with ``vmap(jacrev)`` (3 backward passes per ray,
+   batched) — exact, no loop over parameters.
+
+2. **Posterior sampling** — the reference draws 100 weight vectors and
+   mutates module parameters per draw (`laplace_field.py:528-567`). For a
+   *linear* layer, the pre-activation output under a diagonal Gaussian
+   weight posterior is itself Gaussian:
+   ``y ~ N(W_map x + b, sum_i var_wi x_i^2 + var_b)``. Sampling y directly
+   and pushing through the activation is distributionally identical to
+   weight-space sampling and turns the parameter-mutating loop into one
+   vmapped elementwise op.
+
+Semantics preserved from the reference (verified against the code):
+posterior std = (diag_ggn + prior_prec + eps)^(-1/2); density/RGB moments
+are of the *activated* outputs (biased variance E[f^2]-E[f]^2 over
+n_samples=100); rgb_var is ReLU'd, channel-averaged, then rendered with
+squared weights; depth uses rectified-Gaussian density sampling (100 draws,
+ReLU, per-draw compositing weights, averaged) with std floor 1e-10.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from uncertainty_nerf_gs_tpu.models.nerfacto import NerfactoConfig, NerfactoModel
+from uncertainty_nerf_gs_tpu.ops import raymarch
+from uncertainty_nerf_gs_tpu.ops.activations import trunc_exp
+from uncertainty_nerf_gs_tpu.ops.sampling import RayBundle
+
+
+class LaplacePosterior(NamedTuple):
+    """Diagonal GGN for the density and rgb heads (pytrees matching the
+    `density_head` / `rgb_head` param leaves)."""
+
+    density_head: Any
+    rgb_head: Any
+
+
+def _density_activation(config: NerfactoConfig) -> Callable:
+    if config.density_activation == "trunc_exp":
+        return lambda x: config.average_init_density * trunc_exp(x)
+    return lambda x: config.average_init_density * jax.nn.softplus(x)
+
+
+# ---------------------------------------------------------------------------
+# GGN fit
+# ---------------------------------------------------------------------------
+
+
+def _render_ray_from_heads(
+    heads: dict,
+    trunk: jax.Array,  # (S, W)
+    pen: jax.Array,  # (S, Wc)
+    deltas: jax.Array,  # (S,)
+    config: NerfactoConfig,
+) -> jax.Array:
+    """Rendered rgb of one ray as a function of the two head params."""
+    act = _density_activation(config)
+    raw = trunk @ heads["density_head"]["kernel"] + heads["density_head"]["bias"]
+    density = act(raw[..., 0])
+    weights = raymarch.render_weights(density[None, :], deltas[None, :])[0]
+    rgb_s = jax.nn.sigmoid(pen @ heads["rgb_head"]["kernel"] + heads["rgb_head"]["bias"])
+    comp = jnp.sum(weights[:, None] * rgb_s, axis=0)
+    if config.background_color == "last_sample":
+        comp = comp + (1.0 - jnp.sum(weights)) * rgb_s[-1]
+    elif config.background_color == "white":
+        comp = comp + (1.0 - jnp.sum(weights))
+    return comp  # (3,)
+
+
+def fit_laplace(
+    model: NerfactoModel,
+    params: dict,
+    batch_iter,
+    config: NerfactoConfig,
+    n_iters: int = 300,
+) -> LaplacePosterior:
+    """Accumulate the diagonal GGN over training batches.
+
+    Args:
+      batch_iter: callable(step) -> RayBundle of training rays.
+      n_iters: number of batches (reference default 300,
+        `eval_configs.py` LaplaceConfig).
+    """
+    heads = {
+        "density_head": params["field"]["density_head"],
+        "rgb_head": params["field"]["rgb_head"],
+    }
+
+    @jax.jit
+    def batch_ggn(params, rb: RayBundle):
+        inter = model.apply(
+            {"params": params}, rb, train=False, return_intermediates=True
+        )
+        trunk, pen, deltas = inter["trunk"], inter["color_penultimate"], inter["deltas"]
+        num_rays = trunk.shape[0]
+
+        def ray_jac(tr, pe, de):
+            return jax.jacrev(_render_ray_from_heads)(heads, tr, pe, de, config)
+
+        jacs = jax.vmap(ray_jac)(trunk, pen, deltas)  # leaves: (R, 3, ...)
+        # GGN of MSELoss(mean): d2L/df2 = 2 / (R * C)
+        scale = 2.0 / (num_rays * 3.0)
+        return jax.tree.map(lambda j: scale * jnp.sum(j**2, axis=(0, 1)), jacs)
+
+    total = None
+    for i in range(n_iters):
+        rb = batch_iter(i)
+        g = batch_ggn(params, rb)
+        total = g if total is None else jax.tree.map(jnp.add, total, g)
+    return LaplacePosterior(
+        density_head=total["density_head"], rgb_head=total["rgb_head"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Predictive rendering
+# ---------------------------------------------------------------------------
+
+
+def _linear_posterior_moments(
+    x: jax.Array, head_params: dict, head_ggn: dict, prior_prec: float, eps: float
+) -> tuple[jax.Array, jax.Array]:
+    """Mean/var of y = Wx + b under the diagonal Laplace posterior.
+
+    x: (..., D); kernel (D, O). Returns mu (..., O), var (..., O).
+    """
+    var_kernel = 1.0 / (head_ggn["kernel"] + prior_prec + eps)
+    var_bias = 1.0 / (head_ggn["bias"] + prior_prec + eps)
+    mu = x @ head_params["kernel"] + head_params["bias"]
+    var = (x**2) @ var_kernel + var_bias
+    return mu, var
+
+
+def _pushforward_moments(
+    mu: jax.Array,
+    var: jax.Array,
+    activation: Callable,
+    key: jax.Array,
+    n_samples: int,
+) -> tuple[jax.Array, jax.Array]:
+    """MC mean/var of activation(N(mu, var)); biased variance like the
+    reference's E[f^2] - E[f]^2 estimator."""
+    std = jnp.sqrt(jnp.maximum(var, 0.0))
+    noise = jax.random.normal(key, (n_samples,) + mu.shape, mu.dtype)
+    f = activation(mu[None] + std[None] * noise)
+    f_mean = jnp.mean(f, axis=0)
+    f_var = jnp.mean(f**2, axis=0) - f_mean**2
+    return f_mean, f_var
+
+
+def laplace_render(
+    model: NerfactoModel,
+    params: dict,
+    posterior: LaplacePosterior,
+    ray_bundle: RayBundle,
+    key: jax.Array,
+    config: NerfactoConfig,
+    n_samples: int = 100,
+    prior_prec: float = 1.0,
+    eps: float = 1e-9,
+    use_deterministic_density: bool = False,
+    num_density_draws: int = 100,
+) -> dict[str, jax.Array]:
+    """Predictive mean/std render (reference `get_outputs_unc` semantics)."""
+    inter = model.apply(
+        {"params": params},
+        ray_bundle,
+        train=False,
+        use_average_appearance=True,
+        return_intermediates=True,
+    )
+    trunk = inter["trunk"]  # (R, S, W)
+    pen = inter["color_penultimate"]  # (R, S, Wc)
+    deltas, steps = inter["deltas"], inter["steps"]
+    k_density, k_rgb, k_draws = jax.random.split(key, 3)
+
+    field_params = params["field"]
+    act = _density_activation(config)
+
+    # density posterior (activated space)
+    mu_d_raw, var_d_raw = _linear_posterior_moments(
+        trunk, field_params["density_head"], posterior.density_head, prior_prec, eps
+    )
+    density_mean, density_var = _pushforward_moments(
+        mu_d_raw[..., 0], var_d_raw[..., 0], act, k_density, n_samples
+    )
+
+    # rgb posterior (through sigmoid), channel-averaged variance
+    mu_y, var_y = _linear_posterior_moments(
+        pen, field_params["rgb_head"], posterior.rgb_head, prior_prec, eps
+    )
+    rgb_mean, rgb_var = _pushforward_moments(
+        mu_y, var_y, jax.nn.sigmoid, k_rgb, n_samples
+    )
+    rgb_var = jnp.maximum(rgb_var, 0.0).mean(axis=-1)  # (R, S)
+
+    weights = raymarch.render_weights(density_mean, deltas)
+    background = (
+        rgb_mean[..., -1, :]
+        if config.background_color == "last_sample"
+        else (jnp.ones(3) if config.background_color == "white" else jnp.zeros(3))
+    )
+    rgb = raymarch.render_rgb(weights, rgb_mean, background)
+    rgb_var_rendered = raymarch.render_uncertainty(rgb_var, weights**2)
+
+    if use_deterministic_density:
+        weights_d = weights
+    else:
+        density_std = jnp.maximum(jnp.sqrt(jnp.maximum(density_var, 0.0)), 1e-10)
+        density_std = jnp.nan_to_num(density_std, nan=1e-10)
+        noise = jax.random.normal(
+            k_draws, (num_density_draws,) + density_mean.shape, density_mean.dtype
+        )
+        sampled = jax.nn.relu(density_mean[None] + density_std[None] * noise)
+        sampled_weights = jax.vmap(raymarch.render_weights, in_axes=(0, None))(
+            sampled, deltas
+        )
+        weights_d = jnp.mean(sampled_weights, axis=0)
+
+    depth = raymarch.render_median_depth(weights_d, steps)
+    depth_var = raymarch.depth_variance(weights_d, steps, depth)
+    expected_depth = raymarch.render_expected_depth(weights_d, steps)
+    accumulation = raymarch.render_accumulation(weights_d)
+
+    return {
+        "rgb": rgb,
+        "rgb_var": rgb_var_rendered,
+        "rgb_std": jnp.sqrt(rgb_var_rendered),
+        "accumulation": accumulation,
+        "depth": depth,
+        "depth_var": depth_var,
+        "depth_std": jnp.sqrt(depth_var),
+        "expected_depth": expected_depth,
+    }
