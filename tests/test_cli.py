@@ -1,0 +1,140 @@
+"""End-to-end CLI tests: train a tiny run per family, checkpoint, eval.
+
+Mirrors the reference's empirical validation path (SURVEY §4): the
+`ns-train -> ns-eval-unc` round trip, shrunk to seconds (tiny model, few
+steps, tiny images)."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from uncertainty_nerf_gs_tpu.data.synthetic import write_blender_dataset
+
+TINY_OVERRIDES = {
+    "num_proposal_samples": (24, 12),
+    "num_nerf_samples": 8,
+    "num_levels": 4,
+    "max_res": 64,
+    "log2_hashmap_size": 10,
+    "hidden_dim": 16,
+    "hidden_dim_color": 16,
+    "geo_feat_dim": 7,
+    "use_appearance_embedding": False,
+    "near_plane": 0.5,
+    "far_plane": 4.5,
+    "background_color": "white",
+    "use_scene_contraction": False,
+    "eval_num_rays_per_chunk": 256,
+    "proposal_net_args": (
+        dict(num_levels=2, max_res=32, log2_hashmap_size=8, hidden_dim=8),
+    ),
+}
+
+TINY_SPLAT_OVERRIDES = {
+    "capacity": 128,
+    "num_random": 64,
+    "random_scale": 0.8,
+    "rasterize_capacity": 64,
+    "tile_chunk": 2,
+    "sh_degree": 1,
+    "warmup_length": 3,
+    "refine_every": 4,
+    "background_color": "white",
+}
+
+
+@pytest.fixture(scope="module")
+def tiny_blender(tmp_path_factory):
+    root = tmp_path_factory.mktemp("scene")
+    write_blender_dataset(root, num_train=4, num_test=2, height=24, width=24)
+    return root
+
+
+def _train(method, tiny_blender, tmp_path, overrides, iters=6):
+    from uncertainty_nerf_gs_tpu.scripts.train import main as train_main
+
+    out_dir = tmp_path / f"run_{method}"
+    train_main([
+        method,
+        "--data", str(tiny_blender),
+        "--dataparser", "blender-data",
+        "--output-dir", str(out_dir),
+        "--max-num-iterations", str(iters),
+        "--steps-per-save", str(iters),
+        "--seed", "0",
+        "--log-every", "0",
+        "--overrides", json.dumps(overrides),
+    ])
+    return out_dir
+
+
+def test_train_eval_active_nerfacto(tiny_blender, tmp_path):
+    out_dir = _train(
+        "active-nerfacto", tiny_blender, tmp_path, TINY_OVERRIDES, iters=5
+    )
+    assert (out_dir / "config.json").exists()
+    ckpts = list(out_dir.glob("step-*.ckpt"))
+    assert len(ckpts) == 1
+
+    from uncertainty_nerf_gs_tpu.scripts.eval_uncertainty import main as eval_main
+
+    metrics_path = tmp_path / "metrics.json"
+    out = eval_main([
+        "--load-config", str(out_dir),
+        "--output-path", str(metrics_path),
+    ])
+    res = out["results"]
+    assert np.isfinite(res["psnr"])
+    assert "nll_rgb" in res  # active head produced rgb_std
+    payload = json.load(open(metrics_path))
+    assert payload["method_name"] == "active-nerfacto"
+
+
+def test_train_eval_splatfacto(tiny_blender, tmp_path):
+    out_dir = _train(
+        "active-splatfacto", tiny_blender, tmp_path, TINY_SPLAT_OVERRIDES, iters=5
+    )
+    from uncertainty_nerf_gs_tpu.scripts.eval_uncertainty import main as eval_main
+
+    metrics_path = tmp_path / "m.json"
+    out = eval_main([
+        "--load-config", str(out_dir),
+        "--output-path", str(metrics_path),
+    ])
+    res = out["results"]
+    assert np.isfinite(res["psnr"])
+    assert "nll_rgb" in res
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import jax.numpy as jnp
+
+    from uncertainty_nerf_gs_tpu.engine import checkpointing as ck
+
+    state = {"params": {"w": jnp.arange(4.0)}, "step": np.int32(7)}
+    ck.save_checkpoint(tmp_path, 7, state)
+    ck.save_checkpoint(tmp_path, 12, state)
+    assert ck.latest_checkpoint(tmp_path).name == "step-000000012.ckpt"
+    loaded, step = ck.load_latest(tmp_path)
+    assert step == 12
+    np.testing.assert_allclose(np.asarray(loaded["params"]["w"]), [0, 1, 2, 3])
+
+
+def test_ggn_cache_roundtrip(tmp_path):
+    import jax.numpy as jnp
+
+    from uncertainty_nerf_gs_tpu.engine import checkpointing as ck
+    from uncertainty_nerf_gs_tpu.models.laplace import LaplacePosterior
+
+    post = LaplacePosterior(
+        density_head={"kernel": jnp.ones((4, 1)), "bias": jnp.ones((1,))},
+        rgb_head={"kernel": jnp.ones((4, 3)), "bias": jnp.ones((3,))},
+    )
+    assert ck.load_ggn_cache(tmp_path, 300, post) is None
+    ck.save_ggn_cache(tmp_path, 300, post)
+    loaded = ck.load_ggn_cache(tmp_path, 300, post)
+    np.testing.assert_allclose(
+        np.asarray(loaded.rgb_head["kernel"]), np.ones((4, 3))
+    )

@@ -1,0 +1,114 @@
+"""Tests for the eval harness: per-image metric blocks, aggregation loop,
+JSON schema, artifact dumps. Oracle: perfectly calibrated synthetic
+predictions must score near-zero AUCE error; an oracle uncertainty map must
+beat a random one on AUSE."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from uncertainty_nerf_gs_tpu.eval import evaluator as ev
+
+
+@pytest.fixture
+def fake_pred(rng):
+    h, w = 24, 32
+    gt = rng.uniform(0, 1, (h, w, 3)).astype(np.float32)
+    std = rng.uniform(0.05, 0.3, (h, w)).astype(np.float32)
+    pred = gt + std[..., None] * rng.normal(size=(h, w, 3)).astype(np.float32)
+    return gt, pred, std
+
+
+def test_rgb_metrics_calibrated(fake_pred):
+    gt, pred, std = fake_pred
+    out = ev.rgb_uncertainty_metrics(jnp.asarray(pred), jnp.asarray(std), jnp.asarray(gt))
+    # calibrated predictions: AUCE abs error small, AUSE near 0
+    assert out["auce"]["auc_abs_error_values"] < 0.08
+    assert abs(out["ause_rmse"]) < 0.25
+    assert np.isfinite(out["nll_rgb"])
+    assert out["avg_var"] == pytest.approx(float((std**2).mean()), rel=1e-3)
+    for k, v in out["curves"].items():
+        assert v.shape == (100,), k
+
+
+def test_rgb_metrics_oracle_beats_antioracle(rng, fake_pred):
+    gt, pred, _ = fake_pred
+    err = np.abs(pred - gt).sum(-1)
+    oracle_std = np.sqrt(err / 3.0)  # monotone in the true error
+    anti_std = 1.0 / (oracle_std + 1e-3)
+    out_o = ev.rgb_uncertainty_metrics(jnp.asarray(pred), jnp.asarray(oracle_std), jnp.asarray(gt))
+    out_a = ev.rgb_uncertainty_metrics(jnp.asarray(pred), jnp.asarray(anti_std), jnp.asarray(gt))
+    assert out_o["ause_mae"] < out_a["ause_mae"]
+    assert abs(out_o["ause_mae"]) < 0.02  # oracle ordering => AUSE ~ 0
+
+
+def test_depth_metrics_masking_and_scale(rng):
+    h, w = 16, 20
+    gt = rng.uniform(1.0, 5.0, (h, w)).astype(np.float32)
+    gt[:4] = 0.0  # invalid region must be masked out
+    pred = gt / 2.0 + 0.05 * rng.normal(size=(h, w)).astype(np.float32)
+    std = np.full((h, w), 0.2, np.float32)
+    out = ev.depth_uncertainty_metrics(
+        jnp.asarray(pred), jnp.asarray(std), gt, scale_a=2.0,
+        min_depth_std_for_nll=0.1,
+    )
+    # scale 2 undoes the /2 => near-perfect depth
+    assert np.isfinite(out["nll_depth"])
+    masked_err = out["images"]["abs_err"][gt > 0]
+    assert masked_err.mean() < 0.5
+    assert out["avg_var"] == pytest.approx(0.16, rel=1e-3)  # (2*0.2)^2
+
+
+def test_depth_metrics_resizes_pred(rng):
+    gt = rng.uniform(1.0, 2.0, (20, 20)).astype(np.float32)
+    pred = jnp.asarray(rng.uniform(1.0, 2.0, (10, 10)).astype(np.float32))
+    std = jnp.full((10, 10), 0.3)
+    out = ev.depth_uncertainty_metrics(pred, std, gt)
+    assert out["images"]["depth_pred"].shape == (20, 20)
+
+
+def test_visualize_ranks():
+    x = np.array([[0.5, 0.1], [0.9, 0.3]])
+    r = ev.visualize_ranks(x)
+    assert r.min() == 0.0 and r.max() == 1.0
+    assert r[1, 0] == 1.0  # largest value -> rank 1
+    assert r[0, 1] == 0.0
+
+
+def test_full_eval_loop_and_json(tmp_path, rng, fake_pred):
+    gt, pred, std = fake_pred
+
+    def render_fn(i):
+        return {
+            "rgb": jnp.asarray(pred),
+            "rgb_std": jnp.asarray(std),
+            "depth": jnp.ones_like(jnp.asarray(std)),
+            "depth_std": 0.1 * jnp.ones_like(jnp.asarray(std)),
+        }
+
+    opts = ev.EvalOptions(
+        output_path=tmp_path / "metrics.json",
+        render_output_path=tmp_path / "renders",
+        save_rendered_images=True,
+        plot_ause=True,
+        eval_rgb_unc=True,
+        experiment_name="exp",
+        method_name="active-nerfacto",
+    )
+    out = ev.get_average_uncertainty_metrics(render_fn, [gt, gt], opts)
+    res = out["results"]
+    for key in ("psnr", "ssim", "nll_rgb", "rgb_ause_rmse", "num_rays_per_sec", "fps"):
+        assert key in res and np.isfinite(res[key]), key
+    ev.write_benchmark_json(opts.output_path, res, opts)
+    with open(opts.output_path) as f:
+        payload = json.load(f)
+    # schema of eval_uncertainty.py:1162-1169
+    assert set(payload) == {"experiment_name", "method_name", "checkpoint", "results"}
+    assert payload["method_name"] == "active-nerfacto"
+    # artifacts on disk
+    assert (tmp_path / "renders" / "0_std.png").exists()
+    assert (tmp_path / "renders" / "rgb_ause_rmse.png").exists()
+    assert (tmp_path / "renders" / "rgb_coverage_values.npy").exists()

@@ -67,7 +67,8 @@ def test_pushforward_moments_sigmoid(rng):
     m0, v0 = _pushforward_moments(mu, jnp.zeros_like(var), jax.nn.sigmoid,
                                   jax.random.PRNGKey(1), 64)
     np.testing.assert_allclose(np.asarray(m0), np.asarray(jax.nn.sigmoid(mu)), rtol=1e-5)
-    assert float(jnp.max(jnp.abs(v0))) < 1e-10
+    # fp32 MC residue: sample std of identical values is ~eps, var ~eps^2-ish
+    assert float(jnp.max(jnp.abs(v0))) < 1e-6
 
 
 @pytest.fixture(scope="module")

@@ -91,7 +91,9 @@ def test_hash_encoding_matches_dense_trilinear(rng):
     table = jnp.asarray(rng.normal(size=(1, table_size, feats)).astype(np.float32))
     pts = jnp.asarray(rng.uniform(0, 1, size=(40, 3)).astype(np.float32))
     out = np.asarray(
-        hash_encoding_lookup(table, pts, jnp.array([res], jnp.int32))
+        hash_encoding_lookup(
+            table.reshape(1, -1), pts, jnp.array([res], jnp.int32), feats
+        )
     )
 
     def dense_lookup(p):

@@ -1,0 +1,218 @@
+"""Tests for the 3DGS stack: projection, SH, tile rasterizer, refinement.
+
+Oracles per SURVEY §4: the tile rasterizer is checked against the slow
+O(N*H*W) per-pixel reference blend; projection against hand-computed
+cases; refinement against invariants (capacity conservation, alive-mask
+consistency).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from uncertainty_nerf_gs_tpu.ops.gaussians import (
+    project_gaussians,
+    quat_to_rotmat,
+    scale_rot_to_cov3d,
+)
+from uncertainty_nerf_gs_tpu.ops.rasterize import (
+    rasterize_gaussians,
+    rasterize_reference,
+)
+from uncertainty_nerf_gs_tpu.ops import sh as sh_ops
+from uncertainty_nerf_gs_tpu.models import splatfacto as sf
+
+
+def test_quat_to_rotmat_identity_and_orthonormal(rng):
+    ident = quat_to_rotmat(jnp.array([[1.0, 0, 0, 0]]))
+    np.testing.assert_allclose(np.asarray(ident[0]), np.eye(3), atol=1e-6)
+    q = jnp.asarray(rng.normal(size=(10, 4)).astype(np.float32))
+    R = np.asarray(quat_to_rotmat(q))
+    for r in R:
+        np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-5)
+        assert np.linalg.det(r) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_cov3d_isotropic():
+    s = jnp.array([[0.5, 0.5, 0.5]])
+    q = jnp.array([[0.7, 0.1, -0.3, 0.2]])  # any rotation
+    cov = np.asarray(scale_rot_to_cov3d(s, q))[0]
+    np.testing.assert_allclose(cov, 0.25 * np.eye(3), atol=2e-3)  # fp32 quat norm
+
+
+def _simple_camera(w=64, h=48):
+    viewmat = jnp.eye(4)  # camera at origin looking +z
+    fx = fy = 50.0
+    cx, cy = w / 2, h / 2
+    return viewmat, fx, fy, cx, cy, w, h
+
+
+def test_projection_center_gaussian():
+    viewmat, fx, fy, cx, cy, w, h = _simple_camera()
+    means = jnp.array([[0.0, 0.0, 2.0], [0.0, 0.0, -1.0]])  # second behind cam
+    scales = jnp.full((2, 3), 0.1)
+    quats = jnp.tile(jnp.array([[1.0, 0, 0, 0]]), (2, 1))
+    proj = project_gaussians(means, scales, quats, viewmat, fx, fy, cx, cy, w, h)
+    assert bool(proj.valid[0]) and not bool(proj.valid[1])
+    np.testing.assert_allclose(np.asarray(proj.means2d[0]), [cx, cy], atol=1e-4)
+    assert float(proj.depths[0]) == pytest.approx(2.0)
+    # isotropic world scale 0.1 at z=2 with f=50 -> ~2.5px std, radius ~3 sigma
+    assert 5.0 < float(proj.radii[0]) < 12.0
+    assert 0.5 < float(proj.compensation[0]) <= 1.0
+
+
+def _random_scene(rng, n=100, w=64, h=48):
+    viewmat, fx, fy, cx, cy, w, h = _simple_camera(w, h)
+    means = jnp.asarray(
+        np.stack(
+            [
+                rng.uniform(-1.0, 1.0, n),
+                rng.uniform(-0.8, 0.8, n),
+                rng.uniform(1.5, 4.0, n),
+            ],
+            -1,
+        ).astype(np.float32)
+    )
+    scales = jnp.asarray(rng.uniform(0.02, 0.12, (n, 3)).astype(np.float32))
+    quats = jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32))
+    proj = project_gaussians(means, scales, quats, viewmat, fx, fy, cx, cy, w, h)
+    opac = jnp.asarray(rng.uniform(0.2, 0.9, n).astype(np.float32)) * proj.compensation
+    payload = jnp.asarray(rng.uniform(0.0, 1.0, (n, 5)).astype(np.float32))
+    return proj, opac, payload, w, h
+
+
+def test_rasterize_matches_reference_oracle(rng):
+    proj, opac, payload, w, h = _random_scene(rng)
+    fast = rasterize_gaussians(proj, opac, payload, w, h, capacity=128, tile_chunk=4)
+    ref_img, ref_alpha = rasterize_reference(proj, opac, payload, w, h)
+    assert int(fast.max_overflow) == 0
+    np.testing.assert_allclose(np.asarray(fast.image), np.asarray(ref_img), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(fast.alpha), np.asarray(ref_alpha), atol=1e-4)
+    assert np.all(np.asarray(fast.alpha) <= 1.0 + 1e-5)
+
+
+def test_rasterize_capacity_overflow_reported(rng):
+    proj, opac, payload, w, h = _random_scene(rng, n=100)
+    out = rasterize_gaussians(proj, opac, payload, w, h, capacity=8, tile_chunk=4)
+    assert int(out.max_overflow) > 0  # 100 gaussians over a 64x48 image
+
+
+def test_rasterize_differentiable(rng):
+    proj, opac, payload, w, h = _random_scene(rng, n=30)
+
+    def loss(means2d, op, pv):
+        out = rasterize_gaussians(
+            proj._replace(means2d=means2d), op, pv, w, h, capacity=64, tile_chunk=4
+        )
+        return jnp.sum(out.image**2) + jnp.sum(out.alpha)
+
+    g_mu, g_op, g_pv = jax.grad(loss, argnums=(0, 1, 2))(
+        proj.means2d, opac, payload
+    )
+    for g in (g_mu, g_op, g_pv):
+        arr = np.asarray(g)
+        assert np.isfinite(arr).all()
+        assert np.abs(arr).sum() > 0.0
+
+
+def test_sh_degree0_is_constant(rng):
+    coeffs = jnp.asarray(rng.normal(size=(5, 16, 3)).astype(np.float32))
+    dirs = jnp.asarray(rng.normal(size=(5, 3)).astype(np.float32))
+    rgb = sh_ops.eval_sh_colors(3, coeffs, dirs, active_degree=0)
+    expected = 0.28209479177387814 * np.asarray(coeffs[:, 0, :])
+    np.testing.assert_allclose(np.asarray(rgb), expected, rtol=1e-5)
+
+
+def test_sh_basis_orthonormal_mc(rng):
+    # MC check: E_{uniform sphere}[Y_i Y_j] = delta_ij / (4 pi)
+    d = rng.normal(size=(200_000, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    basis = np.asarray(sh_ops.sh_basis(2, jnp.asarray(d.astype(np.float32))))
+    gram = basis.T @ basis / d.shape[0] * 4 * np.pi
+    np.testing.assert_allclose(gram, np.eye(9), atol=0.05)
+
+
+@pytest.fixture(scope="module")
+def splat_setup():
+    cfg = sf.SplatfactoConfig(
+        capacity=256,
+        num_random=64,
+        random_scale=0.5,
+        rasterize_capacity=64,
+        tile_chunk=4,
+        sh_degree=1,
+        uncertainty_channels=1,
+    )
+    params, state = sf.init_gaussians(jax.random.PRNGKey(0), cfg)
+    return cfg, params, state
+
+
+def test_init_gaussians_shapes(splat_setup):
+    cfg, params, state = splat_setup
+    assert params["means"].shape == (256, 3)
+    assert params["features_rest"].shape == (256, 3, 3)  # degree 1: 4-1 bases...
+    assert params["log_uncertainties"].shape == (256, 1)
+    assert int(jnp.sum(state.alive)) == 64
+
+
+def test_render_splat_outputs(splat_setup):
+    cfg, params, state = splat_setup
+    c2w = jnp.array(
+        [[1.0, 0, 0, 0], [0, 1.0, 0, 0], [0, 0, 1.0, 2.0]]
+    )  # at z=+2 looking along -z (OpenGL)
+    out = sf.render_splat(
+        params, state.alive, c2w, 40.0, 40.0, 32.0, 24.0, 64, 48, cfg,
+        background=jnp.zeros(3),
+    )
+    assert out["rgb"].shape == (48, 64, 3)
+    assert out["depth"].shape == (48, 64)
+    assert out["uncertainty"].shape == (48, 64)
+    for k in ("rgb", "depth", "depth_var", "accumulation", "uncertainty"):
+        assert np.isfinite(np.asarray(out[k])).all(), k
+    assert float(jnp.max(out["accumulation"])) > 0.01  # something rendered
+    # uncertainty map >= 0 (softplus+beta_min composited)
+    assert float(jnp.min(out["uncertainty"])) >= 0.0
+
+
+def test_splat_loss_grads(splat_setup):
+    cfg, params, state = splat_setup
+    c2w = jnp.array([[1.0, 0, 0, 0], [0, 1.0, 0, 0], [0, 0, 1.0, 2.0]])
+    gt = jnp.full((48, 64, 3), 0.5)
+
+    def loss_fn(p):
+        out = sf.render_splat(
+            p, state.alive, c2w, 40.0, 40.0, 32.0, 24.0, 64, 48, cfg,
+            background=jnp.zeros(3),
+        )
+        total, _ = sf.splatfacto_loss(out, gt, p, cfg)
+        return total
+
+    val, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(val))
+    for k, g in grads.items():
+        assert np.isfinite(np.asarray(g)).all(), k
+    assert np.abs(np.asarray(grads["means"])).sum() > 0
+
+
+def test_refine_conserves_capacity(splat_setup):
+    cfg, params, state = splat_setup
+    # force some gradient stats: all alive got high grads, large scales split
+    state = state._replace(
+        grad_accum=jnp.where(state.alive, 1.0, 0.0),
+        vis_count=jnp.ones_like(state.vis_count),
+    )
+    new_params, new_state, info = sf.refine_gaussians(
+        jax.random.PRNGKey(1), params, state, cfg, step=1000
+    )
+    assert new_params["means"].shape == (cfg.capacity, 3)
+    assert int(info["num_alive"]) <= cfg.capacity
+    assert int(info["num_split"]) + int(info["num_dup"]) > 0
+    assert np.isfinite(np.asarray(new_params["means"])).all()
+
+
+def test_opacity_reset(splat_setup):
+    cfg, params, _ = splat_setup
+    out = sf.reset_opacities(params, cfg)
+    max_op = float(jnp.max(jax.nn.sigmoid(out["opacities"])))
+    assert max_op <= cfg.cull_alpha_thresh * 2.0 + 1e-5

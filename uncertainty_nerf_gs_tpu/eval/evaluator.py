@@ -1,0 +1,478 @@
+"""Uncertainty evaluation harness: per-image metrics, aggregation, artifacts.
+
+TPU-native rebuild of the reference's largest component,
+`/root/reference/nerfuncertainty/scripts/eval_uncertainty.py` (1180 LoC, the
+`ns-eval-unc` CLI): per eval image it computes
+
+  * RGB uncertainty metrics (`get_unc_metrics_rgb`, `:306-402`): AUSE over
+    {mae, mse, rmse}, Gaussian NLL with std floor 3e-2, AUCE, average
+    variance, plus splat background compositing of the GT;
+  * depth uncertainty metrics (`get_unc_metrics_depth`, `:415-644`): GT
+    `depth_gt_{i:02d}.npy` + `scale_parameters.txt` scale, pred resize to
+    GT shape, clamp to [1e-3, gt.max], `depth_gt > 0` masking, NLL floor;
+  * PSNR / SSIM / LPIPS (`:679-689`);
+  * throughput `num_rays_per_sec` / `fps` per image (`:896-952`);
+
+then averages scalars, accumulates the 100-bin AUSE and 99-bin AUCE curves
+across images (`:856-893,920-946`), writes the
+`{experiment_name, method_name, checkpoint, results}` JSON (`:1162-1169`)
+and dumps rendered GT / pred / abs-error / clipped-std-jet images
+(`save_imgs_rgb`, `:209-301`) + AUCE curve plots and `.npy` curve files
+(`metrics/auce.py:61-141`).
+
+The metric math itself runs jitted on device; only plotting / file IO is
+host-side.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import time
+from pathlib import Path
+from typing import Any, Callable, Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uncertainty_nerf_gs_tpu.metrics.auce import auce
+from uncertainty_nerf_gs_tpu.metrics.ause import ause
+from uncertainty_nerf_gs_tpu.metrics.image_metrics import lpips, psnr, ssim
+from uncertainty_nerf_gs_tpu.metrics.nll import gaussian_nll
+
+AUSE_BINS = 100
+AUCE_BINS = 99
+
+
+# ---------------------------------------------------------------------------
+# per-image metric blocks
+# ---------------------------------------------------------------------------
+
+
+def rgb_uncertainty_metrics(
+    rgb_pred: jax.Array,
+    rgb_std: jax.Array,
+    rgb_gt: jax.Array,
+    background: jax.Array | None = None,
+    min_rgb_std_for_nll: float = 3e-2,
+) -> dict[str, Any]:
+    """RGB block of `get_unc_metrics_rgb` (`eval_uncertainty.py:306-402`).
+
+    rgb_pred/rgb_gt: (H, W, 3); rgb_std: (H, W) or (H, W, 1) shared std.
+    background: (3,) splat background composited onto the GT alpha
+    (`:320-322`) — pass the model's background for splatfacto methods.
+    """
+    rgb_std = rgb_std.reshape(rgb_pred.shape[:-1])
+    if background is not None and rgb_gt.shape[-1] == 4:
+        alpha = rgb_gt[..., 3:]
+        rgb_gt = rgb_gt[..., :3] * alpha + background * (1.0 - alpha)
+
+    sq_err = jnp.sum((rgb_pred - rgb_gt) ** 2, axis=-1)
+    abs_err = jnp.sum(jnp.abs(rgb_pred - rgb_gt), axis=-1)
+    var_flat = (rgb_std**2).reshape(-1)
+
+    _, err_mae, err_var_mae, ause_mae = ause(var_flat, abs_err.reshape(-1), "mae")
+    _, err_mse, err_var_mse, ause_mse = ause(var_flat, sq_err.reshape(-1), "mse")
+    _, err_rmse, err_var_rmse, ause_rmse = ause(var_flat, sq_err.reshape(-1), "rmse")
+
+    nll = gaussian_nll(
+        rgb_pred.reshape(-1, 3),
+        rgb_gt.reshape(-1, 3),
+        rgb_std.reshape(-1),
+        eps=min_rgb_std_for_nll,
+    )
+    # AUCE over per-channel Gaussians with shared std (`:371-378`)
+    std3 = jnp.repeat(rgb_std.reshape(-1, 1), 3, axis=1).reshape(-1)
+    auce_dict = auce(rgb_pred.reshape(-1), std3, rgb_gt.reshape(-1))
+
+    return {
+        "nll_rgb": float(jnp.mean(nll)),
+        "ause_mae": float(ause_mae),
+        "ause_mse": float(ause_mse),
+        "ause_rmse": float(ause_rmse),
+        "avg_var": float(jnp.mean(var_flat)),
+        "curves": {
+            "err_mae": np.asarray(err_mae),
+            "err_mse": np.asarray(err_mse),
+            "err_rmse": np.asarray(err_rmse),
+            "err_var_mae": np.asarray(err_var_mae),
+            "err_var_mse": np.asarray(err_var_mse),
+            "err_var_rmse": np.asarray(err_var_rmse),
+        },
+        "auce": {k: np.asarray(v) for k, v in auce_dict.items()},
+        "images": {
+            "abs_err": np.asarray(jnp.clip(abs_err, 0.0, 1.0)),
+            "rgb_gt": np.asarray(rgb_gt),
+        },
+    }
+
+
+def depth_uncertainty_metrics(
+    depth: jax.Array,
+    depth_std: jax.Array,
+    depth_gt: np.ndarray,
+    scale_a: float = 1.0,
+    min_depth_std_for_nll: float = 1.0,
+) -> dict[str, Any]:
+    """Depth block of `get_unc_metrics_depth` (`eval_uncertainty.py:415-644`):
+    scale predictions by the dataset scale ``a``, resize to the GT shape,
+    clamp to [1e-3, gt.max], NLL on the clamped full image, then mask
+    ``depth_gt > 0`` for AUSE/AUCE."""
+    depth = jnp.asarray(depth).reshape(depth.shape[-2:] if depth.ndim > 2 else depth.shape)
+    depth_std = jnp.asarray(depth_std).reshape(depth.shape)
+    depth_gt = jnp.asarray(depth_gt)
+    if depth_gt.shape != depth.shape:
+        depth = jax.image.resize(depth, depth_gt.shape, "bilinear")
+        depth_std = jax.image.resize(depth_std, depth_gt.shape, "bilinear")
+
+    min_d = 1e-3
+    max_d = float(jnp.max(depth_gt))
+    depth = scale_a * depth
+    depth_std = scale_a * depth_std
+    depth_c = jnp.clip(depth, min_d, max_d)
+
+    nll_img = gaussian_nll(
+        depth_c[..., None], depth_gt[..., None], depth_std[..., None],
+        eps=min_depth_std_for_nll,
+    ).reshape(depth_c.shape)
+
+    mask = depth_gt > 0
+    # masked flat vectors (order irrelevant for the metrics)
+    dm = jnp.where(mask, depth_c, min_d).reshape(-1)
+    gm = jnp.where(mask, depth_gt, min_d).reshape(-1)
+    sm = jnp.where(mask, depth_std, min_depth_std_for_nll).reshape(-1)
+    w = mask.reshape(-1)
+    # Static-shape masking: drop invalid pixels by giving them zero error and
+    # zero variance... but AUSE/AUCE need the true masked subset; fall back
+    # to host boolean indexing (eval is host-driven anyway).
+    sel = np.asarray(w)
+    dm = np.asarray(dm)[sel]
+    gm = np.asarray(gm)[sel]
+    sm = np.asarray(sm)[sel]
+
+    sq_err = (gm - dm) ** 2
+    abs_err = np.abs(gm - dm)
+    var = sm**2
+
+    _, err_mse, err_var_mse, ause_mse = ause(var, sq_err, "mse")
+    _, err_mae, err_var_mae, ause_mae = ause(var, abs_err, "mae")
+    _, err_rmse, err_var_rmse, ause_rmse = ause(var, sq_err, "rmse")
+    auce_dict = auce(jnp.asarray(dm), jnp.asarray(sm), jnp.asarray(gm))
+    nll_depth = float(np.asarray(nll_img)[np.asarray(mask)].mean())
+
+    return {
+        "nll_depth": nll_depth,
+        "ause_mae": float(ause_mae),
+        "ause_mse": float(ause_mse),
+        "ause_rmse": float(ause_rmse),
+        "avg_var": float(var.mean()),
+        "curves": {
+            "err_mae": np.asarray(err_mae),
+            "err_mse": np.asarray(err_mse),
+            "err_rmse": np.asarray(err_rmse),
+            "err_var_mae": np.asarray(err_var_mae),
+            "err_var_mse": np.asarray(err_var_mse),
+            "err_var_rmse": np.asarray(err_var_rmse),
+        },
+        "auce": {k: np.asarray(v) for k, v in auce_dict.items()},
+        "images": {
+            "depth_pred": np.asarray(depth_c),
+            "depth_gt": np.asarray(depth_gt),
+            "depth_std": np.asarray(depth_std),
+            "abs_err": np.asarray(jnp.abs(depth_c - depth_gt)),
+        },
+    }
+
+
+def visualize_ranks(unc: np.ndarray, eps: float = 1e-6) -> np.ndarray:
+    """BayesRays-style rank map: each pixel's uncertainty replaced by its
+    normalized rank (`eval_uncertainty.py:101-125`)."""
+    flat = unc.reshape(-1)
+    ranks = np.empty_like(flat)
+    ranks[np.argsort(flat)] = np.arange(flat.size, dtype=flat.dtype)
+    return (ranks / max(flat.size - 1, 1)).reshape(unc.shape)
+
+
+# ---------------------------------------------------------------------------
+# artifact saving
+# ---------------------------------------------------------------------------
+
+
+def _save_png(path: Path, arr: np.ndarray) -> None:
+    from PIL import Image
+
+    arr = np.clip(arr, 0.0, 1.0)
+    if arr.ndim == 2:
+        arr = np.repeat(arr[..., None], 3, -1)
+    Image.fromarray((arr * 255).astype(np.uint8)).save(path)
+
+
+def _jet(x: np.ndarray) -> np.ndarray:
+    """Jet colormap without matplotlib dependency at call sites."""
+    import matplotlib.cm as cm
+
+    return cm.jet(np.clip(x, 0.0, 1.0))[..., :3]
+
+
+def save_imgs_rgb(
+    output_path: Path,
+    img_num: int,
+    rgb_gt: np.ndarray,
+    rgb_pred: np.ndarray,
+    rgb_std: np.ndarray,
+    abs_err: np.ndarray,
+    unc_min: float = 0.0,
+    unc_max: float = 1.0,
+) -> None:
+    """GT / pred / abs-err / clipped+normalized jet std map
+    (`eval_uncertainty.py:209-301`)."""
+    output_path = Path(output_path)
+    output_path.mkdir(parents=True, exist_ok=True)
+    _save_png(output_path / f"{img_num}_gt.png", rgb_gt)
+    _save_png(output_path / f"{img_num}_pred.png", rgb_pred)
+    _save_png(output_path / f"{img_num}_abs_err.png", abs_err)
+    std = np.clip(rgb_std, unc_min, unc_max)
+    denom = max(std.max() - std.min(), 1e-10)
+    _save_png(output_path / f"{img_num}_std.png", _jet((std - std.min()) / denom))
+
+
+def plot_auce_curves(
+    output_path: Path, prefix: str, curves: dict[str, np.ndarray]
+) -> None:
+    """5 PNG curve plots + 6 .npy dumps (`metrics/auce.py:61-141`)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    output_path = Path(output_path)
+    output_path.mkdir(parents=True, exist_ok=True)
+    alphas = (np.arange(AUCE_BINS) + 1.0) / 100.0
+    np.save(output_path / f"{prefix}_alphas.npy", alphas)
+    for key in (
+        "coverage_values",
+        "avg_length_values",
+        "coverage_error_values",
+        "abs_coverage_error_values",
+        "neg_coverage_error_values",
+    ):
+        vals = curves[key]
+        np.save(output_path / f"{prefix}_{key}.npy", vals)
+        fig, ax = plt.subplots(1)
+        ax.plot(alphas, vals)
+        if key == "coverage_values":
+            ax.plot(alphas, 1.0 - alphas, "k--", alpha=0.5)
+        ax.set_xlabel("alpha")
+        ax.set_ylabel(key)
+        fig.savefig(output_path / f"{prefix}_{key}.png", bbox_inches="tight")
+        plt.close(fig)
+
+
+def plot_ause_curves(
+    output_path: Path, prefix: str, curves: dict[str, np.ndarray]
+) -> None:
+    """Averaged sparsification curves (`eval_uncertainty.py:85-98,957-1067`)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    output_path = Path(output_path)
+    output_path.mkdir(parents=True, exist_ok=True)
+    ratios = np.linspace(0.0, 1.0, AUSE_BINS, endpoint=False)
+    for err_type in ("mae", "mse", "rmse"):
+        fig, ax = plt.subplots(1)
+        ax.plot(ratios, curves[f"err_{err_type}"], label="oracle")
+        ax.plot(ratios, curves[f"err_var_{err_type}"], label="by variance")
+        ax.set_xlabel("ratio removed")
+        ax.set_ylabel(err_type)
+        ax.legend()
+        fig.savefig(output_path / f"{prefix}_ause_{err_type}.png", bbox_inches="tight")
+        plt.close(fig)
+        np.save(output_path / f"{prefix}_err_{err_type}.npy", curves[f"err_{err_type}"])
+        np.save(
+            output_path / f"{prefix}_err_var_{err_type}.npy",
+            curves[f"err_var_{err_type}"],
+        )
+
+
+# ---------------------------------------------------------------------------
+# aggregation loop
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class EvalOptions:
+    """Knobs of the `EvalUncertainty` base config
+    (`/root/reference/nerfuncertainty/scripts/eval_configs.py:7-49`)."""
+
+    output_path: Path = Path("metrics.json")
+    render_output_path: Path | None = None
+    save_rendered_images: bool = False
+    eval_depth_unc: bool = False
+    eval_rgb_unc: bool = True
+    plot_ause: bool = False
+    min_rgb_std_for_nll: float = 3e-2
+    min_depth_std_for_nll: float = 1.0
+    unc_max: float = 1.0
+    unc_min: float = 0.0
+    dataset_path: Path | None = None  # for GT depth + scale_parameters.txt
+    experiment_name: str = "experiment"
+    method_name: str = "method"
+    checkpoint: str = ""
+
+
+def get_average_uncertainty_metrics(
+    render_fn: Callable[[int], dict[str, jax.Array]],
+    gt_images: Iterable[np.ndarray],
+    options: EvalOptions,
+    lpips_params: Any = None,
+) -> dict[str, Any]:
+    """Evaluate every eval image and average
+    (`eval_uncertainty.py:816-1079`).
+
+    render_fn(i) -> outputs dict with at least rgb (+ rgb_std when
+    eval_rgb_unc, depth/depth_std when eval_depth_unc, optionally
+    background). gt_images: (H, W, 3) float arrays in [0, 1].
+    """
+    gt_images = list(gt_images)
+    num_images = len(gt_images)
+    scalars: list[dict[str, float]] = []
+    rgb_curves_sum = {k: np.zeros(AUSE_BINS) for k in (
+        "err_mae", "err_mse", "err_rmse", "err_var_mae", "err_var_mse", "err_var_rmse")}
+    depth_curves_sum = {k: np.zeros(AUSE_BINS) for k in rgb_curves_sum}
+    rgb_auce_sum: dict[str, np.ndarray] = {}
+    depth_auce_sum: dict[str, np.ndarray] = {}
+
+    scale_a = 1.0
+    if options.eval_depth_unc and options.dataset_path is not None:
+        scale_file = Path(options.dataset_path) / "scale_parameters.txt"
+        if scale_file.exists():
+            scale_a = float(np.loadtxt(scale_file, delimiter=","))
+
+    for i, gt in enumerate(gt_images):
+        t0 = time.perf_counter()
+        outputs = render_fn(i)
+        jax.block_until_ready(outputs["rgb"])
+        dt = time.perf_counter() - t0
+        h, w = np.asarray(outputs["rgb"]).shape[:2]
+        m: dict[str, float] = {
+            "num_rays_per_sec": h * w / dt,
+            "fps": 1.0 / dt,
+        }
+
+        gt_j = jnp.asarray(gt, jnp.float32)
+        rgb = outputs["rgb"]
+        gt_rgb = gt_j[..., :3]
+        if gt_j.shape[-1] == 4 and "background" in outputs:
+            alpha = gt_j[..., 3:]
+            gt_rgb = gt_j[..., :3] * alpha + outputs["background"] * (1.0 - alpha)
+        m["psnr"] = float(psnr(rgb, gt_rgb))
+        m["ssim"] = float(ssim(rgb, gt_rgb))
+        try:
+            m["lpips"] = float(lpips(rgb, gt_rgb, lpips_params))
+        except Exception:
+            pass  # lpips optional (no pretrained weights in env)
+
+        if options.eval_rgb_unc and "rgb_std" in outputs:
+            r = rgb_uncertainty_metrics(
+                rgb, outputs["rgb_std"], gt_j,
+                background=outputs.get("background"),
+                min_rgb_std_for_nll=options.min_rgb_std_for_nll,
+            )
+            m.update({
+                "nll_rgb": r["nll_rgb"],
+                "rgb_ause_mae": r["ause_mae"],
+                "rgb_ause_mse": r["ause_mse"],
+                "rgb_ause_rmse": r["ause_rmse"],
+                "rgb_avg_var": r["avg_var"],
+                "rgb_auce_abs": float(r["auce"]["auc_abs_error_values"]),
+                "rgb_auce_length": float(r["auce"]["auc_length_values"]),
+                "rgb_auce_neg": float(r["auce"]["auc_neg_error_values"]),
+            })
+            for k in rgb_curves_sum:
+                rgb_curves_sum[k] += r["curves"][k]
+            for k, v in r["auce"].items():
+                if np.ndim(v):
+                    rgb_auce_sum[k] = rgb_auce_sum.get(k, 0.0) + v
+            if options.save_rendered_images and options.render_output_path:
+                save_imgs_rgb(
+                    options.render_output_path, i,
+                    np.asarray(r["images"]["rgb_gt"]), np.asarray(rgb),
+                    np.asarray(outputs["rgb_std"]).reshape(h, w),
+                    r["images"]["abs_err"],
+                    options.unc_min, options.unc_max,
+                )
+
+        if options.eval_depth_unc and "depth_std" in outputs:
+            gt_depth = None
+            if options.dataset_path is not None:
+                f = Path(options.dataset_path) / f"depth_gt_{i:02d}.npy"
+                if f.exists():
+                    gt_depth = np.load(f)
+            if gt_depth is not None:
+                d = depth_uncertainty_metrics(
+                    outputs["depth"], outputs["depth_std"], gt_depth, scale_a,
+                    options.min_depth_std_for_nll,
+                )
+                m.update({
+                    "nll_depth": d["nll_depth"],
+                    "depth_ause_mae": d["ause_mae"],
+                    "depth_ause_mse": d["ause_mse"],
+                    "depth_ause_rmse": d["ause_rmse"],
+                    "depth_avg_var": d["avg_var"],
+                    "depth_auce_abs": float(d["auce"]["auc_abs_error_values"]),
+                })
+                for k in depth_curves_sum:
+                    depth_curves_sum[k] += d["curves"][k]
+                for k, v in d["auce"].items():
+                    if np.ndim(v):
+                        depth_auce_sum[k] = depth_auce_sum.get(k, 0.0) + v
+        scalars.append(m)
+
+    # average scalars over images (`eval_uncertainty.py:1070-1078`)
+    keys = set().union(*(m.keys() for m in scalars)) if scalars else set()
+    results = {
+        k: float(np.mean([m[k] for m in scalars if k in m])) for k in keys
+    }
+    artifacts = {
+        "rgb_ause_curves": {k: v / num_images for k, v in rgb_curves_sum.items()},
+        "depth_ause_curves": {k: v / num_images for k, v in depth_curves_sum.items()},
+        "rgb_auce_curves": {k: v / num_images for k, v in rgb_auce_sum.items()},
+        "depth_auce_curves": {k: v / num_images for k, v in depth_auce_sum.items()},
+    }
+    if options.plot_ause and options.render_output_path:
+        if options.eval_rgb_unc:
+            plot_ause_curves(options.render_output_path, "rgb",
+                             artifacts["rgb_ause_curves"])
+            if rgb_auce_sum:
+                plot_auce_curves(options.render_output_path, "rgb",
+                                 artifacts["rgb_auce_curves"])
+        if options.eval_depth_unc and any(
+            v.sum() for v in depth_curves_sum.values()
+        ):
+            plot_ause_curves(options.render_output_path, "depth",
+                             artifacts["depth_ause_curves"])
+            if depth_auce_sum:
+                plot_auce_curves(options.render_output_path, "depth",
+                                 artifacts["depth_auce_curves"])
+    return {"results": results, "artifacts": artifacts}
+
+
+def write_benchmark_json(
+    output_path: Path,
+    results: dict[str, float],
+    options: EvalOptions,
+) -> None:
+    """Final JSON, schema of `eval_uncertainty.py:1162-1169`."""
+    payload = {
+        "experiment_name": options.experiment_name,
+        "method_name": options.method_name,
+        "checkpoint": options.checkpoint,
+        "results": results,
+    }
+    output_path = Path(output_path)
+    output_path.parent.mkdir(parents=True, exist_ok=True)
+    with open(output_path, "w") as f:
+        json.dump(payload, f, indent=2)

@@ -99,6 +99,11 @@ class NerfactoModel(nn.Module):
 
     def setup(self):
         cfg = self.config
+        if cfg.aabb is None and not cfg.use_scene_contraction:
+            # Blender-style unit-box default when contraction is disabled
+            cfg = dataclasses.replace(
+                cfg, aabb=((-1.5, -1.5, -1.5), (1.5, 1.5, 1.5))
+            )
         self.proposal_fields = [
             ProposalDensityField(
                 num_levels=args.get("num_levels", 5),
@@ -168,36 +173,35 @@ class NerfactoModel(nn.Module):
             fars=jnp.full_like(ray_bundle.fars, cfg.far_plane),
         )
 
+        num_levels = len(self.proposal_fields)
         if rngs_key is not None:
-            k_uniform, k_pdf0, k_pdf1, k_bg = jax.random.split(rngs_key, 4)
+            keys = jax.random.split(rngs_key, num_levels + 2)
+            k_uniform, k_bg = keys[0], keys[-1]
+            k_pdfs = list(keys[1:-1])
         else:
-            k_uniform = k_pdf0 = k_pdf1 = k_bg = None
+            k_uniform = k_bg = None
+            k_pdfs = [None] * num_levels
 
-        # --- proposal hierarchy -------------------------------------------
+        # --- proposal hierarchy (any number of levels) ---------------------
         weights_list: list[jax.Array] = []
         sdist_list: list[jax.Array] = []
 
         rs = sample_uniform(ray_bundle, cfg.num_proposal_samples[0], key=k_uniform)
-        d0 = self.proposal_fields[0](rs.positions)
-        w0 = raymarch.render_weights(d0, rs.deltas)
-        w0_annealed = jnp.power(w0, proposal_anneal)
-        weights_list.append(w0)
-        sdist_list.append(rs.spacing_edges)
-
-        rs = sample_pdf(
-            ray_bundle, rs.spacing_edges, jax.lax.stop_gradient(w0_annealed),
-            cfg.num_proposal_samples[1], key=k_pdf0,
-        )
-        d1 = self.proposal_fields[1](rs.positions)
-        w1 = raymarch.render_weights(d1, rs.deltas)
-        w1_annealed = jnp.power(w1, proposal_anneal)
-        weights_list.append(w1)
-        sdist_list.append(rs.spacing_edges)
-
-        rs = sample_pdf(
-            ray_bundle, rs.spacing_edges, jax.lax.stop_gradient(w1_annealed),
-            cfg.num_nerf_samples, key=k_pdf1,
-        )
+        for i, prop_field in enumerate(self.proposal_fields):
+            d = prop_field(rs.positions)
+            w = raymarch.render_weights(d, rs.deltas)
+            w_annealed = jnp.power(w, proposal_anneal)
+            weights_list.append(w)
+            sdist_list.append(rs.spacing_edges)
+            n_next = (
+                cfg.num_proposal_samples[i + 1]
+                if i + 1 < num_levels
+                else cfg.num_nerf_samples
+            )
+            rs = sample_pdf(
+                ray_bundle, rs.spacing_edges,
+                jax.lax.stop_gradient(w_annealed), n_next, key=k_pdfs[i],
+            )
 
         # --- main field ----------------------------------------------------
         field_out = self.field(

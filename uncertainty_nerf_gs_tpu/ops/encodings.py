@@ -123,20 +123,33 @@ def hash_encoding_lookup(
     table: jax.Array,
     positions: jax.Array,
     resolutions: jax.Array,
+    features_per_level: int = 2,
 ) -> jax.Array:
     """Trilinear hash-grid interpolation.
 
     Args:
-      table: (levels, table_size, features) parameter table.
+      table: (levels, table_size * features) parameter table. The feature dim
+        is flattened into the minormost axis ON PURPOSE: TPU tiles the last
+        dim to 128 lanes, so a (..., table, 2) layout would pad 2 -> 128 and
+        inflate HBM at rest by 64x. Entry ``e`` of level ``l`` lives at
+        ``table[l, e*F : (e+1)*F]``.
       positions: (n, 3) in [0, 1].
       resolutions: (levels,) int per-level base resolution.
+      features_per_level: F.
 
     Returns:
       (n, levels * features) encoded features.
     """
-    levels, table_size, feats = table.shape
+    levels = table.shape[0]
+    feats = features_per_level
+    table_size = table.shape[1] // feats
+    n = positions.shape[0]
 
     def one_level(level_table: jax.Array, res: jax.Array) -> jax.Array:
+        # TPU layout note: every big intermediate here keeps the point axis
+        # ``n`` minormost (lane dim). A (n, 8, F) orientation would get its
+        # trailing tiny dims padded to the (8, 128) tile — a 64x HBM blowup
+        # observed in practice — so corners/weights/values are all (..., n).
         scaled = positions * res  # cells span [0, res], res+1 corner points
         base = jnp.floor(scaled)
         frac = scaled - base
@@ -149,15 +162,21 @@ def hash_encoding_lookup(
             ],
             dtype=jnp.int32,
         )
-        corners = base[:, None, :] + offsets[None, :, :]  # (n, 8, 3)
-        idx = _hash_corner_indices(corners, res, table_size)  # (n, 8)
-        vals = level_table[idx]  # (n, 8, feats) gather
-        w = jnp.where(offsets[None, :, :] == 1, frac[:, None, :], 1.0 - frac[:, None, :])
-        weights = w.prod(axis=-1)  # (n, 8)
-        return jnp.sum(vals * weights[..., None], axis=1)  # (n, feats)
+        corners = base.T[None, :, :] + offsets[:, :, None]  # (8, 3, n)
+        idx = _hash_corner_indices(
+            jnp.moveaxis(corners, 1, -1), res, table_size
+        )  # (8, n)
+        w = jnp.where(
+            offsets[:, :, None] == 1, frac.T[None], 1.0 - frac.T[None]
+        ).prod(axis=1)  # (8, n)
+        outs = []
+        for f in range(feats):
+            vals_f = level_table[idx * feats + f]  # (8, n) gather, minor = n
+            outs.append(jnp.sum(vals_f * w, axis=0))  # (n,)
+        return jnp.stack(outs, 0)  # (F, n)
 
-    feats_per_level = jax.vmap(one_level)(table, resolutions)  # (L, n, F)
-    return feats_per_level.transpose(1, 0, 2).reshape(positions.shape[0], levels * feats)
+    feats_per_level = jax.vmap(one_level)(table, resolutions)  # (L, F, n)
+    return feats_per_level.reshape(levels * feats, n).T  # (n, L*F)
 
 
 def hash_grid_resolutions(
@@ -191,16 +210,18 @@ class HashEncoding(nn.Module):
     @nn.compact
     def __call__(self, positions: jax.Array) -> jax.Array:
         table_size = 2**self.log2_hashmap_size
+        # layout note: feature dim flattened into the minormost axis — see
+        # hash_encoding_lookup docstring (TPU lane-padding at rest).
         table = self.param(
             "table",
             lambda key: jax.random.uniform(
                 key,
-                (self.num_levels, table_size, self.features_per_level),
+                (self.num_levels, table_size * self.features_per_level),
                 minval=-self.init_scale,
                 maxval=self.init_scale,
             ),
         )
         resolutions = hash_grid_resolutions(self.num_levels, self.min_res, self.max_res)
         flat = positions.reshape(-1, 3)
-        out = hash_encoding_lookup(table, flat, resolutions)
+        out = hash_encoding_lookup(table, flat, resolutions, self.features_per_level)
         return out.reshape(*positions.shape[:-1], self.output_dim)

@@ -1,0 +1,327 @@
+"""`unc-eval` CLI: uncertainty evaluation of trained runs.
+
+The `ns-eval-unc` surface (`/root/reference/nerfuncertainty/scripts/
+eval_uncertainty.py:1082-1177`, `eval_configs.py:98-105`): per-method
+subcommand-style dispatch that
+
+  * reloads the run's `config.json` + latest `step-*.ckpt`;
+  * builds the method's predictive render function — active heads render
+    directly, MC-dropout overrides `mc_samples` at eval (`:1093-1099`),
+    Laplace computes-or-loads the GGN cache (`:1104-1116`), ensemble loads
+    M member runs and fans out (`ensemble_utils.py:111-170`);
+  * runs the averaged uncertainty metrics loop and writes the
+    `{experiment_name, method_name, checkpoint, results}` JSON.
+
+Usage:
+    python -m uncertainty_nerf_gs_tpu.scripts.eval_uncertainty \
+        --load-config outputs/run1 [--load-config outputs/run2 ...] \
+        --output-path metrics.json [--mc-samples 10] [--laplace-iters 300]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from uncertainty_nerf_gs_tpu.configs.methods import get_method
+from uncertainty_nerf_gs_tpu.data.dataparsers import DATAPARSERS
+from uncertainty_nerf_gs_tpu.data.datasets import load_images
+from uncertainty_nerf_gs_tpu.engine.checkpointing import (
+    latest_checkpoint,
+    load_ggn_cache,
+    load_latest,
+    save_ggn_cache,
+)
+from uncertainty_nerf_gs_tpu.eval.evaluator import (
+    EvalOptions,
+    get_average_uncertainty_metrics,
+    write_benchmark_json,
+)
+
+
+def _load_run(run_dir: Path):
+    run_dir = Path(run_dir)
+    with open(run_dir / "config.json") as f:
+        run_cfg = json.load(f)
+    from uncertainty_nerf_gs_tpu.scripts.train import build_trainer
+
+    trainer, spec, outputs = build_trainer(
+        run_cfg["method"], run_cfg["data"], run_cfg["dataparser"],
+        run_cfg.get("seed", 0), run_cfg.get("parser_kwargs"),
+        run_cfg.get("overrides"),
+    )
+    got = load_latest(run_dir)
+    if got is None:
+        raise FileNotFoundError(f"no checkpoint under {run_dir}")
+    state, step = got
+    if spec.family == "splatfacto":
+        trainer.params = jax.tree.map(jnp.asarray, state["params"])
+        trainer.splat_state = trainer.splat_state._replace(
+            alive=jnp.asarray(state["splat_alive"])
+        )
+        trainer.step = int(state["step"])
+    else:
+        from uncertainty_nerf_gs_tpu.engine.trainer import TrainState
+
+        trainer.state = TrainState(
+            params=jax.tree.map(jnp.asarray, state["params"]),
+            opt_state=trainer.state.opt_state,
+            step=jnp.asarray(state["step"]),
+        )
+    return trainer, spec, run_cfg, step
+
+
+def _eval_cameras_and_images(run_cfg: dict):
+    parse = DATAPARSERS[run_cfg["dataparser"]]
+    outputs = parse(
+        Path(run_cfg["data"]), "test", **(run_cfg.get("parser_kwargs") or {})
+    )
+    return outputs, load_images(outputs)
+
+
+def _nerfacto_full_image_renderer(trainer, render_chunk_fn, eval_cameras):
+    """Chunked full-image render closure over arbitrary per-chunk fns."""
+    from uncertainty_nerf_gs_tpu.cameras.cameras import generate_rays, pixel_grid
+
+    def render(i: int):
+        h, w = eval_cameras.height, eval_cameras.width
+        chunk = trainer.config.eval_num_rays_per_chunk
+        px, py = pixel_grid(h, w)
+        total = h * w
+        pad = (-total) % chunk
+        px = jnp.concatenate([px, jnp.zeros((pad,))])
+        py = jnp.concatenate([py, jnp.zeros((pad,))])
+        idx = jnp.full((total + pad,), i, jnp.int32)
+        outs: dict[str, list] = {}
+        for s in range(0, total + pad, chunk):
+            rb = generate_rays(
+                eval_cameras, idx[s:s + chunk], px[s:s + chunk], py[s:s + chunk]
+            )
+            for k, v in render_chunk_fn(rb).items():
+                if k.startswith(("weights", "sdist")) or k == "density_mean":
+                    continue
+                outs.setdefault(k, []).append(np.asarray(v))
+        return {
+            k: jnp.asarray(
+                np.concatenate(v, 0)[:total].reshape(
+                    (h, w) + np.concatenate(v, 0).shape[1:]
+                )
+            )
+            for k, v in outs.items()
+        }
+
+    return render
+
+
+def build_render_fn(trainer, spec, eval_cameras, run_dir: Path,
+                    mc_samples: int = 10, laplace_iters: int = 300,
+                    laplace_samples: int = 100, prior_prec: float = 1.0,
+                    seed: int = 0):
+    """Per-method predictive renderer (i -> outputs dict)."""
+    if spec.family == "splatfacto":
+        def render(i: int):
+            cam = jax.tree.map(lambda x: x[i], eval_cameras)
+            from uncertainty_nerf_gs_tpu.models import splatfacto as sf
+
+            out = sf.render_splat(
+                trainer.params, trainer.splat_state.alive,
+                cam.camera_to_worlds, cam.fx, cam.fy, cam.cx, cam.cy,
+                eval_cameras.width, eval_cameras.height, trainer.config,
+                sh_deg=trainer.config.sh_degree,
+                background=jnp.ones(3)
+                if trainer.config.background_color == "white" else jnp.zeros(3),
+            )
+            return {k: v for k, v in out.items() if k not in ("radii", "visible")}
+
+        return render
+
+    model, params = trainer.model, trainer.state.params
+    model_params = {k: v for k, v in params.items() if k != "camera_opt"}
+    key = jax.random.PRNGKey(seed + 7)
+
+    if spec.mc_samples > 0:
+        from uncertainty_nerf_gs_tpu.models.mcdropout import mc_dropout_render
+
+        # eval-time mc_samples override (`eval_uncertainty.py:1093-1099`)
+        m = mc_samples or spec.mc_samples
+
+        @jax.jit
+        def chunk_fn(rb):
+            return mc_dropout_render(model, model_params, rb, m, key)
+
+        return _nerfacto_full_image_renderer(trainer, chunk_fn, eval_cameras)
+
+    if spec.laplace:
+        from uncertainty_nerf_gs_tpu.models.laplace import fit_laplace, laplace_render
+
+        like = None
+        posterior = None
+        cached = None
+        # GGN cache compute-or-load (`eval_uncertainty.py:1104-1116`)
+        try:
+            from uncertainty_nerf_gs_tpu.models.laplace import LaplacePosterior
+
+            heads = {
+                "density_head": params["field"]["density_head"],
+                "rgb_head": params["field"]["rgb_head"],
+            }
+            like = LaplacePosterior(
+                density_head=jax.tree.map(jnp.zeros_like, heads["density_head"]),
+                rgb_head=jax.tree.map(jnp.zeros_like, heads["rgb_head"]),
+            )
+            cached = load_ggn_cache(run_dir, laplace_iters, like)
+        except Exception:
+            pass
+        if cached is not None:
+            posterior = cached
+        else:
+            from uncertainty_nerf_gs_tpu.cameras.cameras import generate_rays
+
+            def batch_iter(step):
+                k = jax.random.fold_in(jax.random.PRNGKey(seed + 11), step)
+                batch = trainer.sample_batch(k, 1024)
+                return generate_rays(
+                    trainer.cameras, batch["camera_indices"],
+                    batch["pixel_x"], batch["pixel_y"],
+                )
+
+            posterior = fit_laplace(
+                model, model_params, batch_iter, trainer.config,
+                n_iters=laplace_iters,
+            )
+            save_ggn_cache(run_dir, laplace_iters, posterior)
+
+        @jax.jit
+        def chunk_fn(rb):
+            return laplace_render(
+                model, model_params, posterior, rb, key, trainer.config,
+                n_samples=laplace_samples, prior_prec=prior_prec,
+            )
+
+        return _nerfacto_full_image_renderer(trainer, chunk_fn, eval_cameras)
+
+    # active-nerfacto / plain nerfacto: direct forward
+    @jax.jit
+    def chunk_fn(rb):
+        return model.apply(
+            {"params": model_params}, rb, train=False, use_average_appearance=True
+        )
+
+    return _nerfacto_full_image_renderer(trainer, chunk_fn, eval_cameras)
+
+
+def build_ensemble_render_fn(run_dirs: list[Path], seed: int = 0):
+    """Eval-time deep ensemble: load M runs, stack params, vmapped fan-out +
+    epi/alea combination (`ensemble_pipeline.py:144-191`)."""
+    trainers, specs = [], []
+    for d in run_dirs:
+        t, s, _, _ = _load_run(d)
+        trainers.append(t)
+        specs.append(s)
+    spec = specs[0]
+    base = trainers[0]
+    run_cfg = json.load(open(Path(run_dirs[0]) / "config.json"))
+    eval_outputs, eval_images = _eval_cameras_and_images(run_cfg)
+
+    if spec.family == "splatfacto":
+        # member Gaussian sets differ in alive counts — fan out sequentially
+        from uncertainty_nerf_gs_tpu.models import splatfacto as sf
+        from uncertainty_nerf_gs_tpu.models.ensemble import combine_ensemble_outputs
+
+        def render(i: int):
+            cam = jax.tree.map(lambda x: x[i], eval_outputs.cameras)
+            outs = []
+            for t in trainers:
+                outs.append(
+                    sf.render_splat(
+                        t.params, t.splat_state.alive, cam.camera_to_worlds,
+                        cam.fx, cam.fy, cam.cx, cam.cy,
+                        eval_outputs.cameras.width, eval_outputs.cameras.height,
+                        t.config, sh_deg=t.config.sh_degree,
+                        background=jnp.zeros(3),
+                    )
+                )
+            keys = [k for k in outs[0] if k not in ("radii", "visible", "raster_overflow")]
+            stacked = {k: jnp.stack([o[k] for o in outs]) for k in keys}
+            return combine_ensemble_outputs(stacked)
+
+        return render, eval_outputs, eval_images
+
+    from uncertainty_nerf_gs_tpu.models.ensemble import stack_params, ensemble_render
+
+    stacked = stack_params(
+        [
+            {k: v for k, v in t.state.params.items() if k != "camera_opt"}
+            for t in trainers
+        ]
+    )
+
+    @jax.jit
+    def chunk_fn(rb):
+        return ensemble_render(base.model, stacked, rb)
+
+    render = _nerfacto_full_image_renderer(base, chunk_fn, eval_outputs.cameras)
+    return render, eval_outputs, eval_images
+
+
+def main(argv: list[str] | None = None) -> dict:
+    ap = argparse.ArgumentParser(description="uncertainty evaluation")
+    ap.add_argument("--load-config", action="append", required=True,
+                    help="run dir (repeat for ensembles, >=2 members)")
+    ap.add_argument("--output-path", default="metrics.json")
+    ap.add_argument("--render-output-path", default=None)
+    ap.add_argument("--save-rendered-images", action="store_true")
+    ap.add_argument("--eval-depth-unc", action="store_true")
+    ap.add_argument("--plot-ause", action="store_true")
+    ap.add_argument("--mc-samples", type=int, default=10)
+    ap.add_argument("--laplace-iters", type=int, default=300)
+    ap.add_argument("--laplace-samples", type=int, default=100)
+    ap.add_argument("--prior-prec", type=float, default=1.0)
+    ap.add_argument("--dataset-path", default=None,
+                    help="dir with depth_gt_XX.npy + scale_parameters.txt")
+    ap.add_argument("--experiment-name", default="experiment")
+    args = ap.parse_args(argv)
+
+    run_dirs = [Path(p) for p in args.load_config]
+    if len(run_dirs) > 1:
+        render_fn, eval_outputs, eval_images = build_ensemble_render_fn(run_dirs)
+        method_name = "ensemble"
+        ckpt = ";".join(str(latest_checkpoint(d)) for d in run_dirs)
+    else:
+        trainer, spec, run_cfg, step = _load_run(run_dirs[0])
+        eval_outputs, eval_images = _eval_cameras_and_images(run_cfg)
+        render_fn = build_render_fn(
+            trainer, spec, eval_outputs.cameras, run_dirs[0],
+            args.mc_samples, args.laplace_iters, args.laplace_samples,
+            args.prior_prec,
+        )
+        method_name = spec.name
+        ckpt = str(latest_checkpoint(run_dirs[0]))
+
+    options = EvalOptions(
+        output_path=Path(args.output_path),
+        render_output_path=(
+            Path(args.render_output_path) if args.render_output_path else None
+        ),
+        save_rendered_images=args.save_rendered_images,
+        eval_depth_unc=args.eval_depth_unc,
+        plot_ause=args.plot_ause,
+        dataset_path=Path(args.dataset_path) if args.dataset_path else None,
+        experiment_name=args.experiment_name,
+        method_name=method_name,
+        checkpoint=ckpt,
+    )
+    out = get_average_uncertainty_metrics(render_fn, eval_images, options)
+    write_benchmark_json(options.output_path, out["results"], options)
+    print(json.dumps(out["results"], indent=2, default=float))
+    return out
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,140 @@
+"""`unc-train` CLI: train any registered method on a parsed dataset.
+
+The `ns-train <method> --data ... <dataparser>` surface of the reference
+(`/root/reference/README.md:102-105`) without nerfstudio: method +
+dataparser registries resolve the model/data, the trainer runs the jitted
+loop with periodic `step-*.ckpt` orbax checkpoints (steps_per_save=2000,
+`laplace_config.py:25`), and a `config.json` is written next to the
+checkpoints so `unc-eval` can round-trip the run (the reference round-trips
+`config.yml` through yaml, `ensemble_utils.py:131`).
+
+Usage:
+    python -m uncertainty_nerf_gs_tpu.scripts.train active-nerfacto \
+        --data /path/to/scene --dataparser blender-data \
+        --max-num-iterations 30000 --output-dir outputs/run1 --seed 0
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+from uncertainty_nerf_gs_tpu.configs.methods import METHODS, get_method
+from uncertainty_nerf_gs_tpu.data.dataparsers import DATAPARSERS
+from uncertainty_nerf_gs_tpu.data.datasets import load_images
+from uncertainty_nerf_gs_tpu.engine.checkpointing import save_checkpoint
+
+
+def build_trainer(method_name: str, data: Path, dataparser: str,
+                  seed: int = 0, parser_kwargs: dict | None = None,
+                  config_overrides: dict | None = None):
+    """Resolve method + dataparser and construct the right trainer."""
+    spec = get_method(method_name)
+    parse = DATAPARSERS[dataparser]
+    outputs = parse(Path(data), "train", **(parser_kwargs or {}))
+    images = load_images(outputs)
+
+    cfg = spec.model_config
+    if config_overrides:
+        cfg = dataclasses.replace(cfg, **config_overrides)
+
+    if spec.family == "splatfacto":
+        from uncertainty_nerf_gs_tpu.engine.splat_trainer import SplatfactoTrainer
+
+        trainer = SplatfactoTrainer(
+            config=cfg,
+            cameras=outputs.cameras,
+            images=images,
+            seed=seed,
+            points=outputs.metadata.get("points3D_xyz"),
+            point_colors=outputs.metadata.get("points3D_rgb"),
+        )
+    else:
+        from uncertainty_nerf_gs_tpu.engine.trainer import NerfactoTrainer
+
+        cfg = dataclasses.replace(cfg, num_images=len(outputs.cameras))
+        trainer = NerfactoTrainer(
+            config=cfg, cameras=outputs.cameras, images=images, seed=seed
+        )
+    return trainer, spec, outputs
+
+
+def _trainer_state(trainer) -> dict:
+    if hasattr(trainer, "state"):  # nerfacto family
+        return {
+            "params": trainer.state.params,
+            "opt_state": trainer.state.opt_state,
+            "step": np.asarray(trainer.state.step),
+        }
+    return {  # splat family
+        "params": trainer.params,
+        "opt_state": trainer.opt_state,
+        "splat_alive": np.asarray(trainer.splat_state.alive),
+        "step": np.asarray(trainer.step),
+    }
+
+
+def main(argv: list[str] | None = None) -> Path:
+    ap = argparse.ArgumentParser(description="train an uncertainty method")
+    ap.add_argument("method", choices=sorted(METHODS))
+    ap.add_argument("--data", required=True)
+    ap.add_argument("--dataparser", default="blender-data", choices=sorted(DATAPARSERS))
+    ap.add_argument("--output-dir", default="outputs/run")
+    ap.add_argument("--max-num-iterations", type=int, default=None)
+    ap.add_argument("--steps-per-save", type=int, default=None)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--log-every", type=int, default=500)
+    ap.add_argument("--parser-kwargs", type=json.loads, default={},
+                    help='JSON dict forwarded to the dataparser')
+    ap.add_argument("--overrides", type=json.loads, default={},
+                    help='JSON dict of model-config overrides')
+    args = ap.parse_args(argv)
+
+    trainer, spec, _ = build_trainer(
+        args.method, args.data, args.dataparser, args.seed,
+        args.parser_kwargs, args.overrides,
+    )
+    out_dir = Path(args.output_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    with open(out_dir / "config.json", "w") as f:
+        json.dump(
+            {
+                "method": args.method,
+                "data": str(args.data),
+                "dataparser": args.dataparser,
+                "parser_kwargs": args.parser_kwargs,
+                "overrides": args.overrides,
+                "seed": args.seed,
+            },
+            f, indent=2,
+        )
+
+    total = args.max_num_iterations or spec.max_num_iterations
+    save_every = args.steps_per_save or spec.steps_per_save
+    t0 = time.perf_counter()
+    done = 0
+    while done < total:
+        n = min(save_every, total - done)
+        if spec.family == "splatfacto":
+            losses = trainer.train(n, log_every=args.log_every)
+        else:
+            losses = trainer.train(
+                n, num_rays_per_batch=spec.num_rays_per_batch,
+                log_every=args.log_every,
+            )
+        done += n
+        save_checkpoint(out_dir, done, _trainer_state(trainer))
+        rate = done / (time.perf_counter() - t0)
+        print(f"[{done}/{total}] {rate:.1f} steps/s "
+              + " ".join(f"{k}={v:.4f}" for k, v in losses.items()))
+    print(f"training done: {out_dir}")
+    return out_dir
+
+
+if __name__ == "__main__":
+    main()
