@@ -28,8 +28,18 @@ class OptimizerGroupConfig:
 
 
 DEFAULT_GROUPS: dict[str, OptimizerGroupConfig] = {
-    "proposal_networks": OptimizerGroupConfig(lr=1e-2, lr_final=1e-4, max_steps=200_000),
-    "fields": OptimizerGroupConfig(lr=1e-2, lr_final=1e-4, max_steps=200_000),
+    # warmup note: Adam(eps=1e-15) normalizes the near-zero early gradients
+    # of the color path to full-lr steps — an unchecked random walk that can
+    # saturate the rgb sigmoid (logits beyond +-70 observed) before density
+    # forms, permanently killing color gradients. A short linear warmup lets
+    # the density/proposal geometry form first; the reference's fused tcnn
+    # MLPs don't exhibit the race (bias-free, different init scale).
+    "proposal_networks": OptimizerGroupConfig(
+        lr=1e-2, lr_final=1e-4, max_steps=200_000, warmup_steps=200
+    ),
+    "fields": OptimizerGroupConfig(
+        lr=1e-2, lr_final=1e-4, max_steps=200_000, warmup_steps=200
+    ),
     "camera_opt": OptimizerGroupConfig(lr=1e-3, lr_final=1e-4, max_steps=5_000),
 }
 

@@ -64,6 +64,10 @@ class SplatfactoTrainer:
     seed: int = 0
     points: np.ndarray | None = None
     point_colors: np.ndarray | None = None
+    # camera optimizer (SO3xR3 tangents per image, reference
+    # `activesplatfacto_model.py:157-173` applies it before projection)
+    use_camera_optimizer: bool = False
+    camera_opt_lr: float = 1e-4
 
     def __post_init__(self):
         key = jax.random.PRNGKey(self.seed)
@@ -74,6 +78,11 @@ class SplatfactoTrainer:
         )
         self.tx = make_splat_optimizer(self.params)
         self.opt_state = self.tx.init(self.params)
+        # camera tangents live outside the fixed-capacity gaussian buffer so
+        # refinement compaction never touches them
+        self.camera_opt = jnp.zeros((len(self.cameras), 6), jnp.float32)
+        self.cam_tx = optax.adam(self.camera_opt_lr, eps=1e-15)
+        self.cam_opt_state = self.cam_tx.init(self.camera_opt)
         self.images_dev = jnp.asarray(self.images, jnp.float32)
         self.step = 0
         self.scene_extent = float(
@@ -82,7 +91,10 @@ class SplatfactoTrainer:
         self._step_fn = jax.jit(self._step_impl)
 
     # ------------------------------------------------------------------ step
-    def _step_impl(self, params, opt_state, alive, cam_idx, gt, step, key):
+    def _step_impl(
+        self, params, opt_state, camera_opt, cam_opt_state, alive, cam_idx,
+        gt, step, key,
+    ):
         cfg = self.config
         cam = jax.tree.map(lambda x: x[cam_idx], self.cameras)
         tap = jnp.zeros_like(params["means"][..., :2])
@@ -94,22 +106,43 @@ class SplatfactoTrainer:
         else:
             background = jnp.ones(3)
 
-        def loss_fn(p, tap):
+        def loss_fn(p, tap, cam_tangents):
+            c2w = cam.camera_to_worlds
+            if self.use_camera_optimizer:
+                from uncertainty_nerf_gs_tpu.cameras.lie import (
+                    compose_poses,
+                    exp_map_SO3xR3,
+                )
+
+                delta = exp_map_SO3xR3(cam_tangents[cam_idx][None])[0]
+                c2w = compose_poses(delta[None], c2w[None])[0]
             out = sf.render_splat(
-                p, alive, cam.camera_to_worlds, cam.fx, cam.fy, cam.cx, cam.cy,
+                p, alive, c2w, cam.fx, cam.fy, cam.cx, cam.cy,
                 self.cameras.width, self.cameras.height, cfg,
                 sh_deg=sh_deg, background=background, means2d_tap=tap,
             )
             total, losses = sf.splatfacto_loss(out, gt, p, cfg)
             return total, (losses, out["radii"], out["visible"], out["raster_overflow"])
 
-        (total, (losses, radii, visible, overflow)), (grads, tap_grad) = (
-            jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(params, tap)
+        (total, (losses, radii, visible, overflow)), (grads, tap_grad, cam_grads) = (
+            jax.value_and_grad(loss_fn, argnums=(0, 1, 2), has_aux=True)(
+                params, tap, camera_opt
+            )
         )
         updates, new_opt_state = self.tx.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
+        if self.use_camera_optimizer:
+            cam_updates, new_cam_opt_state = self.cam_tx.update(
+                cam_grads, cam_opt_state, camera_opt
+            )
+            new_camera_opt = optax.apply_updates(camera_opt, cam_updates)
+        else:
+            new_camera_opt, new_cam_opt_state = camera_opt, cam_opt_state
         losses["total_loss"] = total
-        return new_params, new_opt_state, losses, tap_grad, radii, visible, overflow
+        return (
+            new_params, new_opt_state, new_camera_opt, new_cam_opt_state,
+            losses, tap_grad, radii, visible, overflow,
+        )
 
     def train_step(self, key: jax.Array) -> dict[str, float]:
         cfg = self.config
@@ -117,10 +150,12 @@ class SplatfactoTrainer:
         cam_idx = int(jax.random.randint(k_cam, (), 0, len(self.cameras)))
         gt = self.images_dev[cam_idx]
         (
-            self.params, self.opt_state, losses, tap_grad, radii, visible, overflow,
+            self.params, self.opt_state, self.camera_opt, self.cam_opt_state,
+            losses, tap_grad, radii, visible, overflow,
         ) = self._step_fn(
-            self.params, self.opt_state, self.splat_state.alive,
-            jnp.int32(cam_idx), gt, jnp.int32(self.step), k_step,
+            self.params, self.opt_state, self.camera_opt, self.cam_opt_state,
+            self.splat_state.alive, jnp.int32(cam_idx), gt,
+            jnp.int32(self.step), k_step,
         )
         self.splat_state = sf.accumulate_stats(
             self.splat_state, tap_grad, radii, visible,
@@ -164,11 +199,13 @@ class SplatfactoTrainer:
         del keys
         self.opt_state = self.tx.init(self.params)
 
-    def train(self, num_steps: int, log_every: int = 0) -> dict[str, float]:
+    def train(self, num_steps: int, log_every: int = 0, writer=None) -> dict[str, float]:
         key = jax.random.PRNGKey(self.seed + 1)
         losses: dict[str, float] = {}
         for i in range(num_steps):
             losses = self.train_step(key)
+            if writer is not None:
+                writer.write(self.step, losses)
             if log_every and (i + 1) % log_every == 0:
                 print(
                     f"step {self.step}: "

@@ -143,6 +143,7 @@ class NerfactoTrainer:
         num_rays_per_batch: int = 4096,
         log_every: int = 0,
         callback: Callable[[int, dict], None] | None = None,
+        writer=None,
     ) -> dict[str, float]:
         key = jax.random.PRNGKey(self.seed + 1)
         losses = {}
@@ -150,6 +151,10 @@ class NerfactoTrainer:
             key, k_batch, k_step = jax.random.split(key, 3)
             batch = self.sample_batch(k_batch, num_rays_per_batch)
             self.state, losses = self._train_step(self.state, batch, k_step)
+            if writer is not None and (i % 10 == 0 or i == num_steps - 1):
+                writer.write(
+                    int(self.state.step), {k: float(v) for k, v in losses.items()}
+                )
             if log_every and (i + 1) % log_every == 0:
                 msg = {k: float(v) for k, v in losses.items()}
                 print(f"step {i + 1}: " + ", ".join(f"{k}={v:.4f}" for k, v in msg.items()))

@@ -91,3 +91,46 @@ def lpips(pred: jax.Array, target: jax.Array, params=None) -> jax.Array:
     from uncertainty_nerf_gs_tpu.ops import lpips as _lpips_mod
 
     return _lpips_mod.lpips(pred, target, params=params)
+
+
+# --- masked variants (reference `nerfuncertainty/metrics/image_metrics.py`
+# defines masked PSNR/SSIM/LPIPS modules; import commented out of
+# `metrics/__init__.py:3` upstream but part of the component inventory) ----
+
+
+@jax.jit
+def masked_psnr(
+    pred: jax.Array, target: jax.Array, mask: jax.Array, data_range: float = 1.0
+) -> jax.Array:
+    """PSNR over pixels where mask (H, W) is true."""
+    m = mask[..., None].astype(jnp.float32)
+    se = ((pred - target) ** 2) * m
+    mse = jnp.sum(se) / jnp.maximum(jnp.sum(m) * pred.shape[-1] / m.shape[-1], 1.0)
+    return 10.0 * jnp.log10(data_range**2 / mse)
+
+
+@functools.partial(jax.jit, static_argnames=("kernel_size",))
+def masked_ssim(
+    pred: jax.Array,
+    target: jax.Array,
+    mask: jax.Array,
+    data_range: float = 1.0,
+    kernel_size: int = 11,
+) -> jax.Array:
+    """Mean SSIM over windows whose center pixel is inside the mask."""
+    pred = pred.astype(jnp.float32)
+    target = target.astype(jnp.float32)
+    window = _gaussian_window(kernel_size, 1.5)
+    c1 = (0.01 * data_range) ** 2
+    c2 = (0.03 * data_range) ** 2
+    mu_p = _filter2d_separable(pred, window)
+    mu_t = _filter2d_separable(target, window)
+    sigma_pp = _filter2d_separable(pred * pred, window) - mu_p * mu_p
+    sigma_tt = _filter2d_separable(target * target, window) - mu_t * mu_t
+    sigma_pt = _filter2d_separable(pred * target, window) - mu_p * mu_t
+    ssim_map = ((2.0 * mu_p * mu_t + c1) * (2.0 * sigma_pt + c2)) / (
+        (mu_p**2 + mu_t**2 + c1) * (sigma_pp + sigma_tt + c2)
+    )
+    half = (kernel_size - 1) // 2
+    m = mask[half:-half, half:-half, None].astype(jnp.float32)
+    return jnp.sum(ssim_map * m) / jnp.maximum(jnp.sum(m) * ssim_map.shape[-1] / m.shape[-1], 1.0)

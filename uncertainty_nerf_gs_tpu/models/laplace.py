@@ -248,3 +248,107 @@ def laplace_render(
         "depth_std": jnp.sqrt(depth_var),
         "expected_depth": expected_depth,
     }
+
+
+# ---------------------------------------------------------------------------
+# Full-covariance variant (reference `laplace_field.py:570-608`,
+# `sample_laplace_full_cov`: Cholesky of (GGN + prior_prec I)^-1 and joint
+# weight draws). Rarely used upstream but part of the component inventory.
+# ---------------------------------------------------------------------------
+
+
+def fit_laplace_full_cov(
+    model: NerfactoModel,
+    params: dict,
+    batch_iter,
+    config: NerfactoConfig,
+    n_iters: int = 50,
+) -> dict[str, jax.Array]:
+    """Accumulate FULL GGN matrices for the two last layers.
+
+    Returns {"density_head": (D, D), "rgb_head": (D', D')} where D is the
+    flattened (kernel+bias) parameter count of the head. Exact
+    ``J^T H J`` accumulation over per-ray Jacobians (reference computes the
+    same quantity with backpack's one-hot GGN-vector products).
+    """
+    heads = {
+        "density_head": params["field"]["density_head"],
+        "rgb_head": params["field"]["rgb_head"],
+    }
+    flat0, treedef = jax.tree.flatten(heads)
+    sizes = [x.size for x in flat0]
+
+    def flat_heads_render(flat_vec, tr, pe, de):
+        leaves, off = [], 0
+        for x in flat0:
+            leaves.append(flat_vec[off:off + x.size].reshape(x.shape))
+            off += x.size
+        return _render_ray_from_heads(
+            jax.tree.unflatten(treedef, leaves), tr, pe, de, config
+        )
+
+    dim = sum(sizes)
+    theta = jnp.concatenate([x.reshape(-1) for x in flat0])
+
+    @jax.jit
+    def batch_full_ggn(rb: RayBundle):
+        inter = model.apply(
+            {"params": params}, rb, train=False, return_intermediates=True
+        )
+        trunk, pen, deltas = (
+            inter["trunk"], inter["color_penultimate"], inter["deltas"]
+        )
+        num_rays = trunk.shape[0]
+
+        def ray_contrib(tr, pe, de):
+            jac = jax.jacrev(flat_heads_render)(theta, tr, pe, de)  # (3, dim)
+            return jac.T @ jac  # (dim, dim)
+
+        scale = 2.0 / (num_rays * 3.0)
+        return scale * jnp.sum(jax.vmap(ray_contrib)(trunk, pen, deltas), axis=0)
+
+    total = jnp.zeros((dim, dim))
+    for i in range(n_iters):
+        total = total + batch_full_ggn(batch_iter(i))
+    # split back into per-head blocks (cross-head terms dropped, matching the
+    # reference's separate per-layer treatment)
+    out, off = {}, 0
+    names = jax.tree.unflatten(treedef, list(range(len(flat0))))
+    d_sz = sum(
+        flat0[i].size for i in jax.tree.leaves(names["density_head"])
+    )
+    out["density_head"] = total[:d_sz, :d_sz]
+    out["rgb_head"] = total[d_sz:, d_sz:]
+    return out
+
+
+def sample_laplace_full_cov(
+    key: jax.Array,
+    head_params: dict,
+    full_ggn: jax.Array,
+    n_samples: int = 100,
+    prior_prec: float = 1.0,
+) -> dict:
+    """Draw joint weight samples theta ~ N(theta_map, (GGN + p I)^-1).
+
+    Returns a pytree with a leading (n_samples,) axis per leaf — feed
+    through `vmap` of the head forward for full-covariance predictive
+    moments (the reference's parameter-mutation loop, vmapped).
+    """
+    flat0, treedef = jax.tree.flatten(head_params)
+    theta = jnp.concatenate([x.reshape(-1) for x in flat0])
+    dim = theta.shape[0]
+    prec = full_ggn + prior_prec * jnp.eye(dim)
+    # covariance Cholesky via the precision Cholesky: cov = L^-T L^-1
+    L = jnp.linalg.cholesky(prec)
+    eps = jax.random.normal(key, (n_samples, dim))
+    # solve L^T z = eps  =>  z ~ N(0, prec^-1)
+    z = jax.vmap(
+        lambda e: jax.scipy.linalg.solve_triangular(L.T, e, lower=False)
+    )(eps)
+    samples = theta[None] + z
+    leaves, off = [], 0
+    for x in flat0:
+        leaves.append(samples[:, off:off + x.size].reshape((n_samples,) + x.shape))
+        off += x.size
+    return jax.tree.unflatten(treedef, leaves)

@@ -114,6 +114,9 @@ def main(argv: list[str] | None = None) -> Path:
             f, indent=2,
         )
 
+    from uncertainty_nerf_gs_tpu.utils.writer import ScalarWriter
+
+    writer = ScalarWriter(out_dir / "events.jsonl")
     total = args.max_num_iterations or spec.max_num_iterations
     save_every = args.steps_per_save or spec.steps_per_save
     t0 = time.perf_counter()
@@ -121,11 +124,11 @@ def main(argv: list[str] | None = None) -> Path:
     while done < total:
         n = min(save_every, total - done)
         if spec.family == "splatfacto":
-            losses = trainer.train(n, log_every=args.log_every)
+            losses = trainer.train(n, log_every=args.log_every, writer=writer)
         else:
             losses = trainer.train(
                 n, num_rays_per_batch=spec.num_rays_per_batch,
-                log_every=args.log_every,
+                log_every=args.log_every, writer=writer,
             )
         done += n
         save_checkpoint(out_dir, done, _trainer_state(trainer))
