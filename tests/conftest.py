@@ -29,6 +29,10 @@ import pytest
 # so repeated test runs skip them.
 import jax
 
+# The axon sitecustomize (PYTHONPATH=/root/.axon_site) imports jax and can
+# force jax_platforms=axon via config before this file runs; env vars alone
+# don't undo that — force the config back to cpu explicitly.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update(
     "jax_compilation_cache_dir",
     os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
