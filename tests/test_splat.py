@@ -6,6 +6,7 @@ cases; refinement against invariants (capacity conservation, alive-mask
 consistency).
 """
 
+import functools
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -216,3 +217,35 @@ def test_opacity_reset(splat_setup):
     out = sf.reset_opacities(params, cfg)
     max_op = float(jnp.max(jax.nn.sigmoid(out["opacities"])))
     assert max_op <= cfg.cull_alpha_thresh * 2.0 + 1e-5
+
+
+def test_rasterize_pallas_matches_xla(rng):
+    """Pallas fused compositing == XLA map path (values and grads)."""
+    proj, opac, payload, w, h = _random_scene(rng, n=60)
+
+    kw = dict(capacity=128, tile_chunk=4)
+    out_x = rasterize_gaussians(proj, opac, payload, w, h, backend="xla", **kw)
+    out_p = rasterize_gaussians(proj, opac, payload, w, h, backend="pallas", **kw)
+    np.testing.assert_allclose(
+        np.asarray(out_p.image), np.asarray(out_x.image), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_p.alpha), np.asarray(out_x.alpha), atol=2e-5
+    )
+
+    def loss(backend, mu, op, pv):
+        out = rasterize_gaussians(
+            proj._replace(means2d=mu), op, pv, w, h, backend=backend, **kw
+        )
+        return jnp.sum(out.image**2) + jnp.sum(out.alpha * 0.3)
+
+    gx = jax.grad(functools.partial(loss, "xla"), argnums=(0, 1, 2))(
+        proj.means2d, opac, payload
+    )
+    gp = jax.grad(functools.partial(loss, "pallas"), argnums=(0, 1, 2))(
+        proj.means2d, opac, payload
+    )
+    for a, b, name in zip(gp, gx, ("means2d", "opac", "payload")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3, err_msg=name
+        )

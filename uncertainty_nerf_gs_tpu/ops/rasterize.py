@@ -58,6 +58,8 @@ def rasterize_gaussians(
     height: int,
     capacity: int = 512,
     tile_chunk: int = 64,
+    backend: str = "auto",
+    row_capacity: int | None = None,
 ) -> RasterOutputs:
     """Composite (N,) projected Gaussians carrying a (N, C) payload.
 
@@ -65,7 +67,14 @@ def rasterize_gaussians(
     ``compensation``). capacity: static per-tile Gaussian budget; overflow
     beyond it is dropped far-to-near (reported in ``max_overflow`` — callers
     should log it, SURVEY quality rule "no silent caps").
+
+    backend: "xla" composites inside the chunked tile map; "pallas" packs
+    per-tile rows and runs the fused Pallas compositing kernel with its
+    analytic backward (`ops/rasterize_pallas.py`); "auto" picks pallas on
+    TPU.
     """
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     n = proj.means2d.shape[0]
     num_tx = _pad_to_multiple(width, TILE) // TILE
     num_ty = _pad_to_multiple(height, TILE) // TILE
@@ -98,32 +107,68 @@ def rasterize_gaussians(
 
     gauss_idx = jnp.arange(n, dtype=jnp.int32)
 
-    def tile_fn(tid: jax.Array):
+    def tile_origin(tid: jax.Array):
         ty = tid // num_tx
         tx = tid % num_tx
-        x0 = (tx * TILE).astype(jnp.float32)
-        y0 = (ty * TILE).astype(jnp.float32)
+        return (tx * TILE).astype(jnp.float32), (ty * TILE).astype(jnp.float32)
 
-        # -- 2. intersection + first-K compaction (depth order preserved)
+    # -- 2a. per-ROW candidate selection (two-level culling) ------------
+    # Scanning all N Gaussians per tile is O(T*N) and dominates the whole
+    # rasterizer; a first pass per tile ROW compacts the (depth-ordered)
+    # candidates that vertically overlap the row, so per-tile selection
+    # only scans row_cap candidates: O(rows*N + T*row_cap).
+    row_cap = int(min(row_capacity or max(4 * capacity, 1024), n))
+
+    def row_select(ry: jax.Array):
+        y0 = (ry * TILE).astype(jnp.float32)
         hit = (
             valid
-            & (means2d[:, 0] + radii >= x0)
-            & (means2d[:, 0] - radii <= x0 + TILE)
             & (means2d[:, 1] + radii >= y0)
             & (means2d[:, 1] - radii <= y0 + TILE)
         )
-        pos = jnp.cumsum(hit) - 1  # position among hits
+        pos = jnp.cumsum(hit) - 1
+        hits_total = pos[-1] + 1
+        slot = jnp.where(hit & (pos < row_cap), pos, row_cap)
+        buf = jnp.full((row_cap + 1,), n, dtype=jnp.int32)
+        buf = buf.at[slot].set(gauss_idx, mode="drop")[:row_cap]
+        return buf, jnp.maximum(hits_total - row_cap, 0)
+
+    row_idx, row_overflow = jax.lax.map(
+        row_select, jnp.arange(num_ty, dtype=jnp.int32)
+    )  # (num_ty, row_cap), depth order preserved
+
+    # row-local views (num_ty, row_cap, ...); index n maps to the pad row
+    row_x = means2d_p[row_idx, 0]
+    row_radii = jnp.concatenate([radii, jnp.zeros((1,))])[row_idx]
+    row_live = row_idx < n
+
+    def select_fn(tid: jax.Array):
+        """First-K depth-ordered intersecting Gaussians of one tile."""
+        ry = tid // num_tx
+        x0, _ = tile_origin(tid)
+        cand = row_idx[ry]  # (row_cap,)
+        hit = (
+            row_live[ry]
+            & (row_x[ry] + row_radii[ry] >= x0)
+            & (row_x[ry] - row_radii[ry] <= x0 + TILE)
+        )
+        pos = jnp.cumsum(hit) - 1
         hits_total = pos[-1] + 1
         slot = jnp.where(hit & (pos < capacity), pos, capacity)
         idx_buf = jnp.full((capacity + 1,), n, dtype=jnp.int32)
-        idx_buf = idx_buf.at[slot].set(gauss_idx, mode="drop")[:capacity]
+        idx_buf = idx_buf.at[slot].set(cand, mode="drop")[:capacity]
+        overflow = jnp.maximum(hits_total - capacity, 0) + row_overflow[ry]
+        return idx_buf, overflow
 
+    def tile_fn(tid: jax.Array):
+        idx_buf, overflow = select_fn(tid)
         mu = means2d_p[idx_buf]  # (K, 2)
         co = conics_p[idx_buf]  # (K, 3)
         op = opac_p[idx_buf]  # (K,)
         pv = payl_p[idx_buf]  # (K, C)
 
         # -- 3. parallel alpha compositing ------------------------------
+        x0, y0 = tile_origin(tid)
         pix = pix_off + jnp.array([x0, y0])  # (P, 2)
         dx = pix[None, :, 0] - mu[:, None, 0]  # (K, P)
         dy = pix[None, :, 1] - mu[:, None, 1]
@@ -141,7 +186,6 @@ def rasterize_gaussians(
             "kp,kc->pc", w, pv, preferred_element_type=jnp.float32
         )  # (P, C)
         tile_alpha = jnp.sum(w, axis=0)  # (P,)
-        overflow = jnp.maximum(hits_total - capacity, 0)
         return tile_img, tile_alpha, overflow
 
     # -- chunked vmap over tiles to bound memory ------------------------
@@ -149,9 +193,31 @@ def rasterize_gaussians(
     tids = jnp.concatenate(
         [tile_ids, jnp.zeros((pad_tiles - num_tiles,), jnp.int32)]
     ).reshape(-1, tile_chunk)
-    imgs, alphas, overflows = jax.lax.map(jax.vmap(tile_fn), tids)
-    imgs = imgs.reshape(pad_tiles, TILE * TILE, -1)[:num_tiles]
-    alphas = alphas.reshape(pad_tiles, TILE * TILE)[:num_tiles]
+
+    if backend == "pallas":
+        from uncertainty_nerf_gs_tpu.ops.rasterize_pallas import composite_tiles
+
+        idx_all, overflows = jax.lax.map(jax.vmap(select_fn), tids)
+        idx_all = idx_all.reshape(pad_tiles, capacity)
+        # contiguous packed rows: [mu(2), conic(3), opacity, payload(C)]
+        packed_src = jnp.concatenate(
+            [means2d_p, conics_p, opac_p[:, None], payl_p], axis=1
+        )  # (n+1, 6+C)
+        packed = packed_src[idx_all]  # (T, K, 6+C) gather
+        x0 = (jnp.arange(pad_tiles, dtype=jnp.int32) % num_tx * TILE)
+        y0 = (jnp.arange(pad_tiles, dtype=jnp.int32) // num_tx * TILE)
+        x0 = jnp.where(jnp.arange(pad_tiles) < num_tiles, x0, 0)
+        y0 = jnp.where(jnp.arange(pad_tiles) < num_tiles, y0, 0)
+        pix = pix_off[None] + jnp.stack([x0, y0], -1)[:, None, :].astype(
+            jnp.float32
+        )  # (T, P, 2)
+        imgs, alphas = composite_tiles(packed, pix)
+        imgs = imgs[:num_tiles]
+        alphas = alphas[:num_tiles]
+    else:
+        imgs, alphas, overflows = jax.lax.map(jax.vmap(tile_fn), tids)
+        imgs = imgs.reshape(pad_tiles, TILE * TILE, -1)[:num_tiles]
+        alphas = alphas.reshape(pad_tiles, TILE * TILE)[:num_tiles]
 
     c = payload.shape[-1]
     image = (
