@@ -40,9 +40,12 @@ def main() -> None:
         init_ensemble_params,
     )
 
+    # full nerfacto-scale config (16 hash levels, 2^19 tables, 256/96/48
+    # proposal+nerf samples — the reference's actual eval workload) with the
+    # active-nerfacto aleatoric head
     config = NerfactoConfig(
         num_images=8,
-        uncertainty_channels=1,  # active-nerfacto head (flagship)
+        uncertainty_channels=1,
         near_plane=0.5,
         far_plane=6.0,
         background_color="white",

@@ -138,3 +138,62 @@ def test_ggn_cache_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(loaded.rgb_head["kernel"]), np.ones((4, 3))
     )
+
+
+def test_eval_mcdropout_and_ensemble(tiny_blender, tmp_path):
+    """MC-dropout eval path + 2-member ensemble fan-out through the CLI."""
+    import json as _json
+
+    overrides = dict(TINY_OVERRIDES)
+    run_a = _train("nerfacto-mcdropout", tiny_blender, tmp_path, overrides, iters=4)
+
+    from uncertainty_nerf_gs_tpu.scripts.eval_uncertainty import main as eval_main
+
+    out = eval_main([
+        "--load-config", str(run_a),
+        "--output-path", str(tmp_path / "mc.json"),
+        "--mc-samples", "3",
+    ])
+    res = out["results"]
+    assert np.isfinite(res["psnr"])
+    assert "nll_rgb" in res  # MC std produced rgb_std
+
+    # second member with a different seed -> ensemble eval
+    from uncertainty_nerf_gs_tpu.scripts.train import main as train_main
+
+    run_b = tmp_path / "run_member_b"
+    train_main([
+        "nerfacto-mcdropout", "--data", str(tiny_blender),
+        "--dataparser", "blender-data", "--output-dir", str(run_b),
+        "--max-num-iterations", "4", "--steps-per-save", "4",
+        "--seed", "1", "--log-every", "0",
+        "--overrides", _json.dumps(overrides),
+    ])
+    out2 = eval_main([
+        "--load-config", str(run_a),
+        "--load-config", str(run_b),
+        "--output-path", str(tmp_path / "ens.json"),
+    ])
+    res2 = out2["results"]
+    assert np.isfinite(res2["psnr"])
+    assert "nll_rgb" in res2  # cross-member std
+    payload = json.load(open(tmp_path / "ens.json"))
+    assert payload["method_name"] == "ensemble"
+
+
+def test_eval_laplace_cli(tiny_blender, tmp_path):
+    """Laplace eval path: GGN fit (tiny iters), cache file, predictive render."""
+    out_dir = _train("nerfacto-laplace", tiny_blender, tmp_path, TINY_OVERRIDES, iters=4)
+
+    from uncertainty_nerf_gs_tpu.scripts.eval_uncertainty import main as eval_main
+
+    out = eval_main([
+        "--load-config", str(out_dir),
+        "--output-path", str(tmp_path / "lap.json"),
+        "--laplace-iters", "2",
+        "--laplace-samples", "8",
+    ])
+    res = out["results"]
+    assert np.isfinite(res["psnr"])
+    assert "nll_rgb" in res
+    assert (out_dir / "ggn_2.npz").exists()  # cache written

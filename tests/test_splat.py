@@ -249,3 +249,27 @@ def test_rasterize_pallas_matches_xla(rng):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3, err_msg=name
         )
+
+
+def test_rasterize_sharded_matches_single(rng):
+    """Tile-band sharding over the 8-device CPU mesh == single-device."""
+    from uncertainty_nerf_gs_tpu.parallel.mesh import make_mesh
+    from uncertainty_nerf_gs_tpu.parallel.splat_parallel import (
+        rasterize_gaussians_sharded,
+    )
+
+    proj, opac, payload, w, h = _random_scene(rng, n=80)
+    mesh = make_mesh(num_data=len(jax.devices()), num_member=1)
+    img_s, alpha_s, _ = rasterize_gaussians_sharded(
+        proj, opac, payload, w, h, mesh, capacity=128, tile_chunk=2,
+        backend="xla",
+    )
+    out = rasterize_gaussians(
+        proj, opac, payload, w, h, capacity=128, tile_chunk=2, backend="xla"
+    )
+    np.testing.assert_allclose(
+        np.asarray(img_s), np.asarray(out.image), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(alpha_s), np.asarray(out.alpha), atol=2e-5
+    )

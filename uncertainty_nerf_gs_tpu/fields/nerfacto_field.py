@@ -79,6 +79,8 @@ class NerfactoField(nn.Module):
     dropout_rate: float = 0.0
     # SH direction encoding degree
     sh_levels: int = 4
+    # bf16 hidden compute (reference AMP parity); heads stay f32
+    compute_dtype: Any = None
 
     def setup(self):
         self.encoding = HashEncoding(
@@ -97,6 +99,7 @@ class NerfactoField(nn.Module):
             out_activation=nn.relu,
             dropout_layers=self.density_dropout_layers,
             dropout_rate=self.dropout_rate,
+            compute_dtype=self.compute_dtype,
         )
         self.density_head = nn.Dense(1, name="density_head")
         self.geo_head = nn.Dense(self.geo_feat_dim, name="geo_head")
@@ -113,6 +116,7 @@ class NerfactoField(nn.Module):
             out_activation=nn.relu,
             dropout_layers=self.rgb_dropout_layers,
             dropout_rate=self.dropout_rate,
+            compute_dtype=self.compute_dtype,
         )
         self.rgb_head = nn.Dense(3, name="rgb_head")
 
@@ -238,6 +242,7 @@ class ProposalDensityField(nn.Module):
     hidden_dim: int = 16
     use_scene_contraction: bool = True
     aabb: Any = None
+    compute_dtype: Any = None
 
     @nn.compact
     def __call__(self, positions: jax.Array) -> jax.Array:
@@ -261,5 +266,6 @@ class ProposalDensityField(nn.Module):
             num_layers=self.num_layers,
             layer_width=self.hidden_dim,
             out_dim=1,
+            compute_dtype=self.compute_dtype,
         )(feats)[..., 0]
         return trunc_exp(raw) * selector

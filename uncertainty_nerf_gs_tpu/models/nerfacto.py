@@ -88,6 +88,8 @@ class NerfactoConfig:
     rgb_dropout_layers: tuple = ()
     dropout_rate: float = 0.0
     density_activation: str = "trunc_exp"
+    # bf16 hidden MLP compute (reference configs set mixed_precision=True)
+    mixed_precision: bool = False
     # rendering
     eval_num_rays_per_chunk: int = 1 << 12
 
@@ -104,6 +106,7 @@ class NerfactoModel(nn.Module):
             cfg = dataclasses.replace(
                 cfg, aabb=((-1.5, -1.5, -1.5), (1.5, 1.5, 1.5))
             )
+        compute_dtype = jnp.bfloat16 if cfg.mixed_precision else None
         self.proposal_fields = [
             ProposalDensityField(
                 num_levels=args.get("num_levels", 5),
@@ -113,6 +116,7 @@ class NerfactoModel(nn.Module):
                 hidden_dim=args.get("hidden_dim", 16),
                 use_scene_contraction=cfg.use_scene_contraction,
                 aabb=cfg.aabb,
+                compute_dtype=compute_dtype,
                 name=f"proposal_{i}",
             )
             for i, args in enumerate(cfg.proposal_net_args)
@@ -139,6 +143,7 @@ class NerfactoModel(nn.Module):
             density_dropout_layers=cfg.density_dropout_layers,
             rgb_dropout_layers=cfg.rgb_dropout_layers,
             dropout_rate=cfg.dropout_rate,
+            compute_dtype=compute_dtype,
             name="field",
         )
 

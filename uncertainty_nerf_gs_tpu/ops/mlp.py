@@ -31,9 +31,14 @@ class MLP(nn.Module):
     out_activation: Callable | None = None
     dropout_layers: Sequence[int] = ()
     dropout_rate: float = 0.0
+    # bf16 hidden compute = the reference's AMP (`mixed_precision=True`
+    # configs, autocast at `mcdropout_models.py:91`); params stay f32 and
+    # the output is cast back to f32 for the heads/compositing.
+    compute_dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
+        in_dtype = x.dtype
         inp = x
         skips = set(self.skip_connections)
         # normalize dropout indices: -1 means before the final layer
@@ -50,9 +55,10 @@ class MLP(nn.Module):
                 )
             is_last = i == self.num_layers - 1
             width = self.out_dim if is_last else self.layer_width
-            h = nn.Dense(width, name=f"dense_{i}")(h)
+            h = nn.Dense(width, name=f"dense_{i}", dtype=self.compute_dtype)(h)
             if not is_last:
                 h = self.activation(h)
+        h = h.astype(in_dtype)
         if self.out_activation is not None:
             h = self.out_activation(h)
         return h
