@@ -197,3 +197,49 @@ def test_eval_laplace_cli(tiny_blender, tmp_path):
     assert np.isfinite(res["psnr"])
     assert "nll_rgb" in res
     assert (out_dir / "ggn_2.npz").exists()  # cache written
+
+
+def test_pose_gradient_maps(tiny_blender, tmp_path):
+    """6-DoF pose-sensitivity maps via one jacrev per chunk."""
+    out_dir = _train("nerfacto", tiny_blender, tmp_path, TINY_OVERRIDES, iters=3)
+    from uncertainty_nerf_gs_tpu.scripts.pose_gradient import main as pg_main
+
+    pg_dir = tmp_path / "pg"
+    pg_main([
+        "--load-config", str(out_dir),
+        "--output-dir", str(pg_dir),
+        "--camera-idx", "0",
+        "--magnitude-trans", "0.01",
+        "--direction", "0",
+        "--chunk", "192",
+    ])
+    jac = np.load(pg_dir / "jacobian_0.npy")
+    assert jac.shape == (24, 24, 3, 6)
+    assert np.isfinite(jac).all()
+    assert np.abs(jac).sum() > 0
+    assert (pg_dir / "sensitivity_0.png").exists()
+
+
+def test_eval_depth_metrics_path(tiny_blender, tmp_path):
+    """Depth uncertainty eval: GT npy + scale_parameters.txt wiring."""
+    out_dir = _train("active-nerfacto", tiny_blender, tmp_path / "d", TINY_OVERRIDES, iters=3)
+
+    # fabricate GT depth files for the 2 test images
+    ds = tmp_path / "depth_ds"
+    ds.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        np.save(ds / f"depth_gt_{i:02d}.npy", rng.uniform(1.0, 3.0, (24, 24)).astype(np.float32))
+    np.savetxt(ds / "scale_parameters.txt", [1.5])
+
+    from uncertainty_nerf_gs_tpu.scripts.eval_uncertainty import main as eval_main
+
+    out = eval_main([
+        "--load-config", str(out_dir),
+        "--output-path", str(tmp_path / "dm.json"),
+        "--eval-depth-unc",
+        "--dataset-path", str(ds),
+    ])
+    res = out["results"]
+    assert "nll_depth" in res and np.isfinite(res["nll_depth"])
+    assert "depth_ause_rmse" in res

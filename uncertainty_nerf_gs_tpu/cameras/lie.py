@@ -25,16 +25,28 @@ def _skew(v: jax.Array) -> jax.Array:
     )
 
 
+def _safe_theta(omega: jax.Array, eps_sq: float):
+    """(theta_sq, theta, safe) with NaN-free gradients at omega = 0.
+
+    ``jnp.linalg.norm`` has a NaN gradient at zero and `jnp.where` does NOT
+    block cotangents of the unselected branch — the dummy value inside the
+    sqrt makes d theta / d theta_sq zero on the Taylor branch instead.
+    """
+    theta_sq = jnp.sum(omega * omega, axis=-1, keepdims=True)[..., None]
+    safe = theta_sq > eps_sq
+    theta = jnp.sqrt(jnp.where(safe, theta_sq, 1.0))
+    return theta_sq, theta, safe
+
+
 def exp_map_SO3(omega: jax.Array, eps: float = 1e-8) -> jax.Array:
     """Rodrigues formula: (..., 3) tangent -> (..., 3, 3) rotation."""
-    theta = jnp.linalg.norm(omega, axis=-1, keepdims=True)[..., None]
     k = _skew(omega)
-    theta_sq = theta * theta
-    # Taylor-safe coefficients
-    a = jnp.where(theta > eps, jnp.sin(theta) / jnp.maximum(theta, eps), 1.0 - theta_sq / 6.0)
+    theta_sq, theta, safe = _safe_theta(omega, eps * eps)
+    # Taylor-safe coefficients (grads finite on both branches)
+    a = jnp.where(safe, jnp.sin(theta) / theta, 1.0 - theta_sq / 6.0)
     b = jnp.where(
-        theta > eps,
-        (1.0 - jnp.cos(theta)) / jnp.maximum(theta_sq, eps * eps),
+        safe,
+        (1.0 - jnp.cos(theta)) / jnp.where(safe, theta_sq, 1.0),
         0.5 - theta_sq / 24.0,
     )
     eye = jnp.broadcast_to(jnp.eye(3), k.shape)
@@ -54,18 +66,17 @@ def exp_map_SE3(tangent: jax.Array, eps: float = 1e-8) -> jax.Array:
     rho = tangent[..., :3]
     omega = tangent[..., 3:]
     rot = exp_map_SO3(omega)
-    theta = jnp.linalg.norm(omega, axis=-1, keepdims=True)[..., None]
     k = _skew(omega)
-    theta_sq = theta * theta
-    theta_cu = theta_sq * theta
+    theta_sq, theta, safe = _safe_theta(omega, eps * eps)
+    safe_sq = jnp.where(safe, theta_sq, 1.0)
     b = jnp.where(
-        theta > eps,
-        (1.0 - jnp.cos(theta)) / jnp.maximum(theta_sq, eps * eps),
+        safe,
+        (1.0 - jnp.cos(theta)) / safe_sq,
         0.5 - theta_sq / 24.0,
     )
     c = jnp.where(
-        theta > eps,
-        (theta - jnp.sin(theta)) / jnp.maximum(theta_cu, eps**3),
+        safe,
+        (theta - jnp.sin(theta)) / (safe_sq * theta),
         1.0 / 6.0 - theta_sq / 120.0,
     )
     eye = jnp.broadcast_to(jnp.eye(3), k.shape)
