@@ -29,7 +29,7 @@ NUM_MEMBERS = 5
 CHUNK = 1 << 12  # reference eval chunks 1<<15 rays (laplace_config.py:35);
 # 4096 keeps compile+VMEM modest while saturating the chip.
 WARMUP = 2
-ITERS = 10
+ITERS = 5
 
 
 def main() -> None:
@@ -67,18 +67,24 @@ def main() -> None:
 
     render = build_ensemble_render(model)
 
-    for _ in range(WARMUP):
-        out = render(stacked_params, bundle)
-        jax.block_until_ready(out)
+    # Timing hygiene for the axon (remote TPU tunnel) backend: block_until_
+    # ready is unreliable and identical repeated launches can short-circuit,
+    # so every iteration gets distinct inputs and the loop ends with a host
+    # materialization that transitively forces the whole execution chain.
+    def run(i: int):
+        b = bundle._replace(origins=bundle.origins + 1e-6 * i)
+        return render(stacked_params, b)
+
+    for i in range(WARMUP):
+        float(jnp.sum(run(i)["rgb"]))
 
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = render(stacked_params, bundle)
-        jax.block_until_ready(out)
+    outs = [run(WARMUP + i)["rgb"] for i in range(ITERS)]
+    checksum = float(jnp.sum(jnp.stack([o.sum() for o in outs])))
     dt = time.perf_counter() - t0
 
     rays_per_sec = ITERS * CHUNK / dt
-    assert np.isfinite(np.asarray(out["rgb"])).all()
+    assert np.isfinite(checksum)
     print(
         json.dumps(
             {

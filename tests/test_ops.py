@@ -92,7 +92,8 @@ def test_hash_encoding_matches_dense_trilinear(rng):
     pts = jnp.asarray(rng.uniform(0, 1, size=(40, 3)).astype(np.float32))
     out = np.asarray(
         hash_encoding_lookup(
-            table.reshape(1, -1), pts, jnp.array([res], jnp.int32), feats
+            # (1, T, F) -> (1, F, T) lane-major layout
+            jnp.transpose(table, (0, 2, 1)), pts, jnp.array([res], jnp.int32), feats
         )
     )
 

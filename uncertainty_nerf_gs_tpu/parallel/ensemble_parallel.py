@@ -128,7 +128,16 @@ def build_ensemble_render(
                 use_average_appearance=True,
             )
 
-        stacked = jax.vmap(one_member)(stacked_params)
+        if mesh is None:
+            # single device: members execute serially anyway, and lax.map
+            # keeps the peak footprint at ONE member's gather intermediates
+            # (hash-table row-gathers can't fuse and would materialize a
+            # members-x-corners-x-128 buffer under vmap — OOM at 5 members)
+            stacked = jax.lax.map(one_member, stacked_params)
+        else:
+            # member axis sharded over the mesh: each device holds only its
+            # member's intermediates, so the batched form is safe
+            stacked = jax.vmap(one_member)(stacked_params)
         return combine_ensemble_outputs(stacked, parity_mode=parity_mode)
 
     if mesh is None:

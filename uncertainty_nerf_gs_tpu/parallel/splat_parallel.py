@@ -60,17 +60,13 @@ def rasterize_gaussians_sharded(
         out = rasterize_gaussians(local, opac, payl, width, band_h, **raster_kwargs)
         return out.image[None], out.alpha[None], out.max_overflow[None]
 
-    try:
-        from jax import shard_map  # jax >= 0.6
-    except ImportError:  # pragma: no cover
-        from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     img, alpha, overflow = shard_map(
         band_fn,
         mesh=mesh,
         in_specs=(P(axis, None), P(), P(), P()),  # gaussians replicated
         out_specs=(P(axis, None, None, None), P(axis, None, None), P(axis)),
-        check_rep=False,
     )(y_offsets, proj, opacities, payload)
     img = img.reshape(total_h, img.shape[-2], img.shape[-1])[:height]
     alpha = alpha.reshape(total_h, alpha.shape[-1])[:height]
