@@ -41,8 +41,12 @@ def main() -> None:
     )
 
     # full nerfacto-scale config (16 hash levels, 2^19 tables, 256/96/48
-    # proposal+nerf samples — the reference's actual eval workload) with the
-    # active-nerfacto aleatoric head
+    # proposal+nerf samples) with the active-nerfacto aleatoric head.
+    # proposal_field_type="mlp" is the TPU-first configuration: gather-free
+    # frequency-MLP proposal densities (XLA's dynamic gather is the TPU
+    # bottleneck; overfit quality matches hash proposals to within 2 dB —
+    # see STATUS.md). The reference-parity hash proposals remain the
+    # METHODS-registry default.
     config = NerfactoConfig(
         num_images=8,
         uncertainty_channels=1,
@@ -50,6 +54,7 @@ def main() -> None:
         far_plane=6.0,
         background_color="white",
         use_appearance_embedding=False,
+        proposal_field_type="mlp",
     )
     model = NerfactoModel(config)
     stacked_params = init_ensemble_params(model, NUM_MEMBERS)

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from uncertainty_nerf_gs_tpu.ops.activations import shifted_softplus, trunc_exp
-from uncertainty_nerf_gs_tpu.ops.encodings import HashEncoding, sh_encoding
+from uncertainty_nerf_gs_tpu.ops.encodings import HashEncoding, nerf_encoding, sh_encoding
 from uncertainty_nerf_gs_tpu.ops.mlp import MLP
 from uncertainty_nerf_gs_tpu.ops.spatial import contract_to_unit_cube, normalize_aabb
 
@@ -243,6 +243,13 @@ class ProposalDensityField(nn.Module):
     use_scene_contraction: bool = True
     aabb: Any = None
     compute_dtype: Any = None
+    # "hash" (nerfacto's HashMLPDensityField) or "mlp" — a gather-free
+    # frequency-encoded MLP density. TPU rationale: proposal fields account
+    # for ~2/3 of all hash-table gathers per ray and XLA's dynamic gather
+    # is the nerfacto-forward bottleneck on TPU; the MLP variant trades
+    # those gathers for MXU matmuls (near-free).
+    field_type: str = "hash"
+    num_frequencies: int = 5
 
     @nn.compact
     def __call__(self, positions: jax.Array) -> jax.Array:
@@ -255,13 +262,22 @@ class ProposalDensityField(nn.Module):
             inside = jnp.all((normalized >= 0.0) & (normalized <= 1.0), axis=-1)
             selector = inside.astype(positions.dtype)
             normalized = jnp.clip(normalized, 0.0, 1.0)
-        feats = HashEncoding(
-            num_levels=self.num_levels,
-            min_res=self.base_res,
-            max_res=self.max_res,
-            log2_hashmap_size=self.log2_hashmap_size,
-            features_per_level=self.features_per_level,
-        )(normalized)
+        if self.field_type == "mlp":
+            feats = nerf_encoding(
+                normalized,
+                num_frequencies=self.num_frequencies,
+                min_freq_exp=0.0,
+                max_freq_exp=float(self.num_frequencies - 1),
+                include_input=True,
+            )
+        else:
+            feats = HashEncoding(
+                num_levels=self.num_levels,
+                min_res=self.base_res,
+                max_res=self.max_res,
+                log2_hashmap_size=self.log2_hashmap_size,
+                features_per_level=self.features_per_level,
+            )(normalized)
         raw = MLP(
             num_layers=self.num_layers,
             layer_width=self.hidden_dim,

@@ -69,7 +69,11 @@ class NerfactoConfig:
     use_scene_contraction: bool = True
     aabb: Any = None
     background_color: str = "last_sample"  # random | last_sample | white | black
-    # proposal fields (nerfacto's two levels)
+    # proposal fields (nerfacto's two levels); "hash" = reference parity,
+    # "mlp" = gather-free frequency-MLP density (TPU-fast, see
+    # ProposalDensityField.field_type) — per-net override via
+    # proposal_net_args["field_type"]
+    proposal_field_type: str = "hash"
     proposal_net_args: tuple = (
         dict(num_levels=5, max_res=128, log2_hashmap_size=17, hidden_dim=16),
         dict(num_levels=5, max_res=256, log2_hashmap_size=17, hidden_dim=16),
@@ -117,6 +121,7 @@ class NerfactoModel(nn.Module):
                 use_scene_contraction=cfg.use_scene_contraction,
                 aabb=cfg.aabb,
                 compute_dtype=compute_dtype,
+                field_type=args.get("field_type", cfg.proposal_field_type),
                 name=f"proposal_{i}",
             )
             for i, args in enumerate(cfg.proposal_net_args)

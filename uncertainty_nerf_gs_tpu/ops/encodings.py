@@ -146,17 +146,24 @@ def hash_encoding_lookup(
     """
     levels, feats, table_size = table.shape
     assert feats == features_per_level
+    assert 128 % feats == 0, "features_per_level must divide 128"
     n = positions.shape[0]
     res_np = np.asarray(resolutions)
 
-    # gather path: 128-lane ROW gathers + a VPU one-hot lane select. On a
-    # v5e this runs ~3x faster than jnp.take along the lane axis and ~10x
-    # faster than element gathers from a flat table (rows are DMA-friendly
-    # 512B slices; the select fuses into the interpolation).
-    pad = (-table_size) % 128
-    rows_per_level = (table_size + pad) // 128
-    table_rows = jnp.pad(table, ((0, 0), (0, 0), (0, pad))).reshape(
-        levels, feats, rows_per_level, 128
+    # gather path: interleaved-feature 128-lane ROW gathers + VPU one-hot
+    # lane selects. Entry e's features live contiguously at lanes
+    # (e % epr)*F + f of row e // epr (epr = 128 // F entries per row), so
+    # ONE row gather serves all F features. On a v5e this is ~10x faster
+    # than element gathers from a flat table and 2x fewer gathers than
+    # per-feature rows (the row fetch is the bottleneck; the selects fuse).
+    epr = 128 // feats  # entries per 128-lane row
+    pad = (-table_size) % epr
+    rows_per_level = (table_size + pad) // epr
+    # (L, F, T) -> (L, rows, 128) interleaved: transpose to (T, F) then flat
+    table_rows = (
+        jnp.pad(table, ((0, 0), (0, 0), (0, pad)))
+        .transpose(0, 2, 1)
+        .reshape(levels, rows_per_level, 128)
     )
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
 
@@ -184,11 +191,11 @@ def hash_encoding_lookup(
         w = jnp.where(
             offsets[:, :, None] == 1, frac.T[None], 1.0 - frac.T[None]
         ).prod(axis=1)  # (8, n)
-        onehot = (lane_iota == (idx & 127)[:, None]).astype(table.dtype)  # (8n, 128)
-        row_id = idx >> 7
+        rows = table_rows[lvl][idx // epr]  # (8n, 128) one row gather
+        lane0 = (idx % epr) * feats
         feats_lvl = []
         for f in range(feats):
-            rows = table_rows[lvl, f][row_id]  # (8n, 128) row gather
+            onehot = (lane_iota == (lane0 + f)[:, None]).astype(table.dtype)
             vals = jnp.sum(rows * onehot, axis=1).reshape(8, n)
             feats_lvl.append(jnp.sum(vals * w, axis=0))  # (n,)
         outs.append(jnp.stack(feats_lvl, 0))  # (F, n)
