@@ -185,3 +185,20 @@ def test_camera_optimizer_param_group(tiny_dataset):
     trainer.train(3, num_rays_per_batch=256)
     after = np.asarray(trainer.state.params["camera_opt"])
     assert not np.allclose(before, after), "camera poses did not receive gradients"
+
+
+def test_mlp_proposal_field_variant(tiny_dataset):
+    """proposal_field_type='mlp': gather-free proposal densities produce a
+    working forward with NO hash tables in the proposal params."""
+    import jax
+
+    cams, images, _ = tiny_dataset
+    cfg = NerfactoConfig(num_images=4, proposal_field_type="mlp", **TINY)
+    from uncertainty_nerf_gs_tpu.engine.trainer import NerfactoTrainer as _T
+
+    tr = _T(cfg, cams, images)
+    flat = jax.tree_util.tree_leaves_with_path(tr.state.params)
+    prop_keys = [jax.tree_util.keystr(p) for p, _ in flat if "proposal" in jax.tree_util.keystr(p)]
+    assert prop_keys and all("table" not in k for k in prop_keys)
+    losses = tr.train(2, num_rays_per_batch=128)
+    assert np.isfinite(losses["total_loss"])

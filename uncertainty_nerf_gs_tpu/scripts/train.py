@@ -87,6 +87,9 @@ def main(argv: list[str] | None = None) -> Path:
     ap.add_argument("--output-dir", default="outputs/run")
     ap.add_argument("--max-num-iterations", type=int, default=None)
     ap.add_argument("--steps-per-save", type=int, default=None)
+    ap.add_argument("--steps-per-eval-image", type=int, default=0,
+                    help="render train image 0 every N steps and log PSNR "
+                         "(reference trainer's in-training eval hooks)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--log-every", type=int, default=500)
     ap.add_argument("--parser-kwargs", type=json.loads, default={},
@@ -132,6 +135,15 @@ def main(argv: list[str] | None = None) -> Path:
             )
         done += n
         save_checkpoint(out_dir, done, _trainer_state(trainer))
+        if args.steps_per_eval_image and done % args.steps_per_eval_image == 0:
+            import jax.numpy as jnp
+
+            from uncertainty_nerf_gs_tpu.metrics import psnr
+
+            img = trainer.render_image(0)
+            p = float(psnr(jnp.asarray(img["rgb"]), jnp.asarray(trainer.images[0])))
+            writer.write(done, {"eval_psnr_train0": p})
+            print(f"[{done}] train-view psnr={p:.2f}")
         rate = done / (time.perf_counter() - t0)
         print(f"[{done}/{total}] {rate:.1f} steps/s "
               + " ".join(f"{k}={v:.4f}" for k, v in losses.items()))
