@@ -2,7 +2,9 @@
 
 Benches the BASELINE.json north-star path — a single-launch 5-member deep-
 ensemble render (mean + epistemic/aleatoric variance) of the active-nerfacto
-flagship model — and prints ONE JSON line:
+flagship model at the reference-parity configuration (hash-grid proposal
+fields, 16-level 2^19 main grid, 256/96/48 samples) — and prints ONE JSON
+line per metric (first line = headline):
 
     {"metric": ..., "value": N, "unit": "rays/sec", "vs_baseline": N}
 
@@ -13,6 +15,10 @@ The reference publishes no numbers (BASELINE.md), so the baseline constant
 below is the protocol-documented estimate: a single nerfacto eval render on
 the reference's CUDA 11.8 GPU class sustains ~3e5 rays/s, so the 5-member
 sequential ensemble path sustains ~6e4 rays/s.  vs_baseline = value / 6e4.
+
+Round-2 path (parallel/ensemble_fused.py): cell-major hash grids + member-
+packed rows, ONE gather per (sample, level) serves all 5 members; proposal
+chain shared across members (deviation validated in tests).
 """
 
 from __future__ import annotations
@@ -26,27 +32,38 @@ import numpy as np
 
 REFERENCE_ENSEMBLE_RAYS_PER_SEC = 6.0e4  # see module docstring
 NUM_MEMBERS = 5
-CHUNK = 1 << 12  # reference eval chunks 1<<15 rays (laplace_config.py:35);
-# 4096 keeps compile+VMEM modest while saturating the chip.
+CHUNK = 1 << 13  # 8192 rays/launch amortizes fixed per-launch costs;
+# reference eval chunks 1<<15 rays (laplace_config.py:35).
 WARMUP = 2
 ITERS = 5
 
 
-def main() -> None:
+def _bench(run, n_rays) -> float:
+    """Axon timing hygiene: distinct inputs per iter; end with a host
+    materialization that transitively forces the chain."""
+    for i in range(WARMUP):
+        float(jnp.sum(run(i)))
+    t0 = time.perf_counter()
+    outs = [run(WARMUP + i) for i in range(ITERS)]
+    checksum = float(jnp.sum(jnp.stack([o.sum() for o in outs])))
+    dt = time.perf_counter() - t0
+    assert np.isfinite(checksum)
+    return ITERS * n_rays / dt
+
+
+def bench_ensemble_render() -> dict:
     from uncertainty_nerf_gs_tpu.models.nerfacto import NerfactoConfig, NerfactoModel
     from uncertainty_nerf_gs_tpu.ops.sampling import RayBundle
+    from uncertainty_nerf_gs_tpu.parallel.ensemble_fused import (
+        build_fused_ensemble_render,
+        pack_ensemble_tables,
+    )
     from uncertainty_nerf_gs_tpu.parallel.ensemble_parallel import (
-        build_ensemble_render,
         init_ensemble_params,
     )
 
-    # full nerfacto-scale config (16 hash levels, 2^19 tables, 256/96/48
-    # proposal+nerf samples) with the active-nerfacto aleatoric head.
-    # proposal_field_type="mlp" is the TPU-first configuration: gather-free
-    # frequency-MLP proposal densities (XLA's dynamic gather is the TPU
-    # bottleneck; overfit quality matches hash proposals to within 2 dB —
-    # see STATUS.md). The reference-parity hash proposals remain the
-    # METHODS-registry default.
+    # reference-parity model scale: hash proposals (the METHODS default),
+    # 16 levels / 2^19 main table, 256/96/48 samples, aleatoric head.
     config = NerfactoConfig(
         num_images=8,
         uncertainty_channels=1,
@@ -54,10 +71,12 @@ def main() -> None:
         far_plane=6.0,
         background_color="white",
         use_appearance_embedding=False,
-        proposal_field_type="mlp",
+        proposal_field_type="hash",
     )
     model = NerfactoModel(config)
     stacked_params = init_ensemble_params(model, NUM_MEMBERS)
+    packed = pack_ensemble_tables(model, stacked_params, table_dtype=jnp.bfloat16)
+    render = build_fused_ensemble_render(model)
 
     rng = np.random.default_rng(0)
     d = rng.normal(size=(CHUNK, 3))
@@ -70,36 +89,66 @@ def main() -> None:
         camera_indices=jnp.zeros((CHUNK,), jnp.int32),
     )
 
-    render = build_ensemble_render(model)
-
-    # Timing hygiene for the axon (remote TPU tunnel) backend: block_until_
-    # ready is unreliable and identical repeated launches can short-circuit,
-    # so every iteration gets distinct inputs and the loop ends with a host
-    # materialization that transitively forces the whole execution chain.
     def run(i: int):
         b = bundle._replace(origins=bundle.origins + 1e-6 * i)
-        return render(stacked_params, b)
+        return render(stacked_params, packed, b)["rgb"]
 
-    for i in range(WARMUP):
-        float(jnp.sum(run(i)["rgb"]))
+    rays_per_sec = _bench(run, CHUNK)
+    return {
+        "metric": "ensemble5_mean_var_render_throughput",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/sec",
+        "vs_baseline": round(rays_per_sec / REFERENCE_ENSEMBLE_RAYS_PER_SEC, 3),
+    }
 
-    t0 = time.perf_counter()
-    outs = [run(WARMUP + i)["rgb"] for i in range(ITERS)]
-    checksum = float(jnp.sum(jnp.stack([o.sum() for o in outs])))
-    dt = time.perf_counter() - t0
 
-    rays_per_sec = ITERS * CHUNK / dt
-    assert np.isfinite(checksum)
-    print(
-        json.dumps(
-            {
-                "metric": "ensemble5_mean_var_render_throughput",
-                "value": round(rays_per_sec, 1),
-                "unit": "rays/sec",
-                "vs_baseline": round(rays_per_sec / REFERENCE_ENSEMBLE_RAYS_PER_SEC, 3),
-            }
-        )
+def bench_rasterizer() -> dict:
+    """Splat rasterizer fwd+bwd at 65k gaussians / 640x480 (STATUS.md shapes),
+    with forced materialization (VERDICT r1 item 3)."""
+    from uncertainty_nerf_gs_tpu.models.splatfacto import (
+        SplatfactoConfig,
+        init_gaussians,
+        render_splat,
     )
+
+    cfg = SplatfactoConfig(capacity=1 << 16, num_random=65_000, random_scale=1.5)
+    params, state = init_gaussians(jax.random.PRNGKey(0), cfg)
+    c2w = jnp.asarray(
+        [[1.0, 0, 0, 0], [0, 1.0, 0, 0], [0, 0, 1.0, 4.0]], jnp.float32
+    )
+    W, H = 640, 480
+
+    @jax.jit
+    def fwd_bwd(means):
+        def loss(m):
+            p = dict(params, means=m)
+            out = render_splat(
+                p, state.alive, c2w, 500.0, 500.0, W / 2, H / 2, W, H, cfg
+            )
+            return jnp.mean(out["rgb"]), out["rgb"]
+
+        (l, rgb), g = jax.value_and_grad(loss, has_aux=True)(means)
+        return l + jnp.sum(g[:, 0]) + rgb.sum()
+
+    def run(i):
+        return fwd_bwd(params["means"] + 1e-6 * i)
+
+    frames_per_sec = _bench(run, 1)
+    return {
+        "metric": "splat_rasterize_fwd_bwd_640x480_65k",
+        "value": round(1000.0 / frames_per_sec, 2),
+        "unit": "ms/frame",
+        "vs_baseline": None,
+    }
+
+
+def main() -> None:
+    print(json.dumps(bench_ensemble_render()))
+    try:
+        print(json.dumps(bench_rasterizer()))
+    except Exception as e:  # secondary metric must not break the headline
+        print(json.dumps({"metric": "splat_rasterize_fwd_bwd_640x480_65k",
+                          "error": str(e)[:200]}))
 
 
 if __name__ == "__main__":

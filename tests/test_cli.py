@@ -243,3 +243,102 @@ def test_eval_depth_metrics_path(tiny_blender, tmp_path):
     res = out["results"]
     assert "nll_depth" in res and np.isfinite(res["nll_depth"])
     assert "depth_ause_rmse" in res
+
+
+def test_train_resume_continues_from_step(tiny_blender, tmp_path):
+    """`--load-dir` resume restores params+opt_state+step and continues
+    (nerfstudio `ns-train --load-dir` semantics, VERDICT r1 item 6)."""
+    from uncertainty_nerf_gs_tpu.scripts.train import main as train_main
+
+    out_dir = _train(
+        "active-nerfacto", tiny_blender, tmp_path, TINY_OVERRIDES, iters=4
+    )
+    assert (out_dir / "step-000000004.ckpt").exists()
+    out_dir2 = tmp_path / "resumed"
+    train_main([
+        "active-nerfacto",
+        "--data", str(tiny_blender),
+        "--dataparser", "blender-data",
+        "--output-dir", str(out_dir2),
+        "--load-dir", str(out_dir),
+        "--max-num-iterations", "8",
+        "--steps-per-save", "4",
+        "--seed", "0",
+        "--log-every", "0",
+        "--overrides", json.dumps(TINY_OVERRIDES),
+    ])
+    # resumed run continues 4 -> 8: exactly one new checkpoint at step 8
+    names = sorted(p.name for p in out_dir2.glob("step-*.ckpt"))
+    assert names == ["step-000000008.ckpt"]
+
+    from uncertainty_nerf_gs_tpu.engine.checkpointing import load_latest
+
+    state, step = load_latest(out_dir2)
+    assert step == 8
+    assert int(np.asarray(state["step"])) == 8
+
+
+def test_splat_train_resume(tiny_blender, tmp_path):
+    from uncertainty_nerf_gs_tpu.scripts.train import main as train_main
+
+    out_dir = _train(
+        "active-splatfacto", tiny_blender, tmp_path, TINY_SPLAT_OVERRIDES, iters=3
+    )
+    out_dir2 = tmp_path / "resumed_splat"
+    train_main([
+        "active-splatfacto",
+        "--data", str(tiny_blender),
+        "--dataparser", "blender-data",
+        "--output-dir", str(out_dir2),
+        "--load-dir", str(out_dir),
+        "--max-num-iterations", "6",
+        "--steps-per-save", "3",
+        "--seed", "0",
+        "--log-every", "0",
+        "--overrides", json.dumps(TINY_SPLAT_OVERRIDES),
+    ])
+    from uncertainty_nerf_gs_tpu.engine.checkpointing import load_latest
+
+    state, step = load_latest(out_dir2)
+    assert step == 6
+    assert "camera_opt" in state  # splat ckpt carries camera optimizer state
+
+
+def test_camera_optimizer_on_by_default_for_nerfacto_family():
+    """Reference trains nerfacto-family methods with SO3xR3 camera
+    optimization ON (`laplace_config.py:37`); the method registry must
+    reproduce that and expose the camera_opt optimizer group."""
+    from uncertainty_nerf_gs_tpu.configs.methods import METHODS
+
+    for name, spec in METHODS.items():
+        if spec.family == "nerfacto":
+            assert spec.use_camera_optimizer, name
+        else:
+            assert not spec.use_camera_optimizer, name
+
+
+def test_camera_opt_param_group_layout(tiny_blender, tmp_path):
+    from uncertainty_nerf_gs_tpu.data.dataparsers import DATAPARSERS
+    from uncertainty_nerf_gs_tpu.data.datasets import load_images
+    from uncertainty_nerf_gs_tpu.engine.trainer import NerfactoTrainer
+    from uncertainty_nerf_gs_tpu.models.nerfacto import NerfactoConfig
+
+    outputs = DATAPARSERS["blender-data"](tiny_blender, "train")
+    images = load_images(outputs)
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        NerfactoConfig(), num_images=len(outputs.cameras), **TINY_OVERRIDES
+    )
+    tr = NerfactoTrainer(
+        config=cfg, cameras=outputs.cameras, images=images,
+        use_camera_optimizer=True,
+    )
+    assert tr.state.params["camera_opt"].shape == (len(outputs.cameras), 6)
+    # gradient flows into the pose tangents after one step
+    import jax
+
+    key = jax.random.PRNGKey(0)
+    batch = tr.sample_batch(key, 64)
+    tr.state, _ = tr._train_step(tr.state, batch, key)
+    assert float(np.abs(np.asarray(tr.state.params["camera_opt"])).sum()) > 0

@@ -248,3 +248,61 @@ def test_blur_matches_separable_gaussian():
     assert abs(out.sum() - 255.0) < 5.0
     np.testing.assert_allclose(out[:, :, 0], out[::-1, :, 0], atol=1.0)
     np.testing.assert_allclose(out[:, :, 0], out[:, ::-1, 0], atol=1.0)
+
+
+def test_auto_downscale_rule_matches_nerfstudio(tmp_path):
+    """nerfstudio semantics: smallest power-of-two factor bringing
+    max(w, h) <= 1600 — a ~2000px or ~3118px (Mip-NeRF 360) image must
+    auto-parse at factor 2 (ADVICE r1: the old rule was off by one level)."""
+    from PIL import Image
+
+    from uncertainty_nerf_gs_tpu.data.dataparsers import _get_fname
+
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    Image.new("RGB", (2000, 1400)).save(img_dir / "probe.png")
+    _, factor = _get_fname(Path("images/probe.png"), tmp_path, None)
+    assert factor == 2
+
+    Image.new("RGB", (3118, 2078)).save(img_dir / "probe360.png")
+    _, factor = _get_fname(Path("images/probe360.png"), tmp_path, None)
+    assert factor == 2
+
+    Image.new("RGB", (1600, 1200)).save(img_dir / "small.png")
+    _, factor = _get_fname(Path("images/small.png"), tmp_path, None)
+    assert factor == 1
+
+    Image.new("RGB", (6500, 4000)).save(img_dir / "huge.png")
+    _, factor = _get_fname(Path("images/huge.png"), tmp_path, None)
+    assert factor == 8  # 6500/4 = 1625 > 1600, so one more halving
+
+
+def test_focus_center_method():
+    """Cameras looking at a common point: focus centering recovers it."""
+    from uncertainty_nerf_gs_tpu.data.dataparsers import (
+        auto_orient_and_center_poses,
+    )
+
+    focus = np.array([0.3, -0.2, 0.5])
+    rng = np.random.default_rng(0)
+    poses = []
+    for _ in range(12):
+        origin = focus + rng.normal(size=3) * 2.0
+        forward = focus - origin
+        forward /= np.linalg.norm(forward)
+        up = np.array([0.0, 0.0, 1.0])
+        right = np.cross(forward, up)
+        right /= np.linalg.norm(right)
+        true_up = np.cross(right, forward)
+        c2w = np.eye(4)[:3]
+        # OpenGL convention: -z forward
+        c2w[:, 0], c2w[:, 1], c2w[:, 2], c2w[:, 3] = right, true_up, -forward, origin
+        poses.append(c2w)
+    poses = np.stack(poses)
+    oriented, transform = auto_orient_and_center_poses(
+        poses, method="none", center_method="focus"
+    )
+    # with no rotation, the focus point should land at the origin
+    np.testing.assert_allclose(
+        transform[:, :3] @ focus + transform[:, 3], 0.0, atol=1e-5
+    )

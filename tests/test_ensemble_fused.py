@@ -1,0 +1,220 @@
+"""Tests for the cell-major hash grid and the fused shared-gather ensemble
+render (round-2 throughput path)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from uncertainty_nerf_gs_tpu.models.nerfacto import NerfactoConfig, NerfactoModel
+from uncertainty_nerf_gs_tpu.ops.encodings import (
+    CellHashEncoding,
+    cell_indices,
+    cell_lookup,
+    hash_grid_resolutions,
+    pack_member_cell_tables,
+    packed_cell_lookup,
+)
+from uncertainty_nerf_gs_tpu.ops.sampling import RayBundle
+from uncertainty_nerf_gs_tpu.parallel.ensemble_fused import (
+    build_fused_ensemble_render,
+    pack_ensemble_tables,
+)
+from uncertainty_nerf_gs_tpu.parallel.ensemble_parallel import init_ensemble_params
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def _tiny_config(**over):
+    base = dict(
+        num_images=2,
+        near_plane=0.5,
+        far_plane=6.0,
+        background_color="white",
+        use_appearance_embedding=False,
+        num_proposal_samples=(24, 12),
+        num_nerf_samples=8,
+        num_levels=4,
+        max_res=64,
+        log2_hashmap_size=10,
+        proposal_net_args=(
+            dict(num_levels=2, max_res=32, log2_hashmap_size=9, hidden_dim=16),
+            dict(num_levels=2, max_res=64, log2_hashmap_size=9, hidden_dim=16),
+        ),
+    )
+    base.update(over)
+    return NerfactoConfig(**base)
+
+
+def _bundle(rng, n=32):
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return RayBundle(
+        origins=jnp.asarray(rng.uniform(-0.1, 0.1, (n, 3)), jnp.float32),
+        directions=jnp.asarray(d, jnp.float32),
+        nears=jnp.full((n,), 0.5),
+        fars=jnp.full((n,), 6.0),
+        camera_indices=jnp.zeros((n,), jnp.int32),
+    )
+
+
+# ------------------------------------------------------------- cell layout
+
+
+def test_cell_lookup_matches_manual_trilerp(rng):
+    """Dense level: cell lookup equals hand-computed trilinear interp of the
+    cell's own 8 stored corners."""
+    res, feats, table_size = 4, 2, 512  # res^3=64 <= 512: dense
+    cpr = 128 // (8 * feats)
+    n_rows = (table_size + cpr - 1) // cpr
+    rows = jnp.asarray(rng.normal(size=(1, n_rows, 128)).astype(np.float32))
+    pts = jnp.asarray(rng.uniform(0.02, 0.98, (40, 3)).astype(np.float32))
+    out = np.asarray(cell_lookup(rows, pts, [res], table_size, feats))
+
+    rows_np = np.asarray(rows)
+    for p, o in zip(np.asarray(pts), out):
+        scaled = p * res
+        base = np.minimum(np.floor(scaled).astype(int), res - 1)
+        frac = scaled - base
+        idx = base[0] + res * (base[1] + res * base[2])
+        cell = rows_np[0, idx // cpr].reshape(cpr, 8, feats)[idx % cpr]
+        acc = np.zeros(feats)
+        for c in range(8):
+            a, b, cbit = (c >> 2) & 1, (c >> 1) & 1, c & 1
+            w = (
+                (frac[0] if a else 1 - frac[0])
+                * (frac[1] if b else 1 - frac[1])
+                * (frac[2] if cbit else 1 - frac[2])
+            )
+            acc += w * cell[c]
+        np.testing.assert_allclose(o, acc, rtol=1e-5, atol=1e-6)
+
+
+def test_cell_lookup_continuous_inside_cell(rng):
+    """Trilerp within one cell is smooth: small position deltas -> small
+    output deltas."""
+    enc = CellHashEncoding(num_levels=3, min_res=4, max_res=16, log2_hashmap_size=9)
+    params = enc.init(jax.random.PRNGKey(0), jnp.zeros((1, 3)))
+    p0 = jnp.asarray([[0.31, 0.52, 0.77]])
+    p1 = p0 + 1e-4
+    o0 = enc.apply(params, p0)
+    o1 = enc.apply(params, p1)
+    assert float(jnp.abs(o1 - o0).max()) < 1e-4
+
+
+def test_cell_encoding_grads_flow(rng):
+    enc = CellHashEncoding(num_levels=4, min_res=4, max_res=32, log2_hashmap_size=8)
+    pts = jnp.asarray(rng.uniform(0, 1, (64, 3)).astype(np.float32))
+    params = enc.init(jax.random.PRNGKey(0), pts)
+
+    def loss(p):
+        return jnp.sum(enc.apply(p, pts) ** 2)
+
+    g = jax.grad(loss)(params)["params"]["cells"]
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0
+
+
+def test_packed_lookup_matches_per_member(rng):
+    """The member-packed single gather equals M independent cell lookups."""
+    feats, table_size, m = 2, 512, 3
+    res_list = hash_grid_resolutions(3, 4, 32)
+    cpr = 128 // (8 * feats)
+    n_rows = (table_size + cpr - 1) // cpr
+    stacked = jnp.asarray(
+        rng.normal(size=(m, 3, n_rows, 128)).astype(np.float32)
+    )
+    pts = jnp.asarray(rng.uniform(0, 1, (50, 3)).astype(np.float32))
+
+    packed = pack_member_cell_tables(stacked, table_size, feats)
+    fused = np.asarray(
+        packed_cell_lookup(packed, pts, res_list, table_size, m, feats)
+    )
+    for j in range(m):
+        ref = np.asarray(
+            cell_lookup(stacked[j], pts, res_list, table_size, feats)
+        )
+        np.testing.assert_allclose(fused[j], ref, rtol=1e-5, atol=1e-6)
+
+
+# --------------------------------------------------------- fused ensemble
+
+
+def test_fused_render_matches_standard_for_identical_members(rng):
+    """With identical member params the shared proposal chain IS each
+    member's own chain, so the fused render must equal the standard
+    single-model render and epistemic variance must vanish."""
+    cfg = _tiny_config(uncertainty_channels=1)
+    model = NerfactoModel(cfg)
+    rb = _bundle(rng)
+    one = init_ensemble_params(model, 1)
+    # 3 identical members
+    stacked = jax.tree.map(lambda x: jnp.repeat(x, 3, axis=0), one)
+    packed = pack_ensemble_tables(model, stacked)
+    render = build_fused_ensemble_render(model)
+    fused = render(stacked, packed, rb)
+
+    single = jax.tree.map(lambda x: x[0], one)
+    ref = model.apply({"params": single}, rb, train=False,
+                      use_average_appearance=True)
+
+    np.testing.assert_allclose(
+        np.asarray(fused["rgb"]), np.asarray(ref["rgb"]), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused["depth"]), np.asarray(ref["depth"]), rtol=1e-4, atol=1e-5
+    )
+    assert float(fused["rgb_var_epi"].max()) < 1e-9
+
+
+def test_fused_render_distinct_members_have_epistemic_variance(rng):
+    cfg = _tiny_config(uncertainty_channels=1)
+    model = NerfactoModel(cfg)
+    rb = _bundle(rng)
+    stacked = init_ensemble_params(model, 3)
+    packed = pack_ensemble_tables(model, stacked)
+    render = build_fused_ensemble_render(model)
+    out = render(stacked, packed, rb)
+    for k, v in out.items():
+        assert np.isfinite(np.asarray(v)).all(), k
+    assert float(out["rgb_var_epi"].mean()) > 0
+    # reference parity combine: rgb_var stays the member-mean aleatoric
+    assert float(out["rgb_var_combined"].mean()) >= float(
+        out["rgb_var_epi"].mean()
+    )
+
+
+def test_fused_render_close_to_per_member_ensemble(rng):
+    """Shared-proposal deviation check: fused combine vs the round-1
+    per-member ensemble render agree closely on mean RGB (untrained params;
+    trained-scene PSNR validation lives in the overfit suite)."""
+    from uncertainty_nerf_gs_tpu.models.ensemble import ensemble_render
+
+    cfg = _tiny_config(uncertainty_channels=1)
+    model = NerfactoModel(cfg)
+    rb = _bundle(rng)
+    stacked = init_ensemble_params(model, 3)
+    packed = pack_ensemble_tables(model, stacked)
+    fused = build_fused_ensemble_render(model)(stacked, packed, rb)
+    ref = ensemble_render(model, stacked, rb)
+    # same members, different proposal chains -> close but not identical
+    diff = float(jnp.abs(fused["rgb"] - ref["rgb"]).mean())
+    assert diff < 0.05, diff
+
+
+def test_fused_render_bf16_tables_close_to_f32(rng):
+    cfg = _tiny_config(uncertainty_channels=1)
+    model = NerfactoModel(cfg)
+    rb = _bundle(rng)
+    stacked = init_ensemble_params(model, 2)
+    p32 = pack_ensemble_tables(model, stacked)
+    p16 = pack_ensemble_tables(model, stacked, table_dtype=jnp.bfloat16)
+    render = build_fused_ensemble_render(model)
+    o32 = render(stacked, p32, rb)
+    o16 = render(stacked, p16, rb)
+    assert float(jnp.abs(o32["rgb"] - o16["rgb"]).max()) < 0.02

@@ -41,6 +41,10 @@ class MethodSpec:
     # eval-time knobs
     mc_samples: int = 0  # >0 => MC-dropout inference
     laplace: bool = False
+    # the reference trains every nerfacto-family method with an SO3xR3
+    # camera optimizer ON (`laplace_config.py:37`, `mcdropout_configs.py:33`,
+    # `activenerfacto_config.py:40`); splatfacto's default mode is "off"
+    use_camera_optimizer: bool = False
 
 
 def _nerfacto(**overrides) -> NerfactoConfig:
@@ -53,12 +57,14 @@ METHODS: dict[str, MethodSpec] = {
         family="nerfacto",
         description="nerfstudio nerfacto baseline (ensemble member)",
         model_config=_nerfacto(),
+        use_camera_optimizer=True,
     ),
     "active-nerfacto": MethodSpec(
         name="active-nerfacto",
         family="nerfacto",
         description="nerfacto + aleatoric RGB variance head (ActiveNeRF NLL)",
         model_config=_nerfacto(uncertainty_channels=1),
+        use_camera_optimizer=True,
     ),
     "nerfacto-mcdropout": MethodSpec(
         name="nerfacto-mcdropout",
@@ -69,6 +75,7 @@ METHODS: dict[str, MethodSpec] = {
             rgb_dropout_layers=(-1,),
             dropout_rate=0.2,
         ),
+        use_camera_optimizer=True,
         mc_samples=10,
     ),
     "nerfacto-laplace": MethodSpec(
@@ -76,6 +83,7 @@ METHODS: dict[str, MethodSpec] = {
         family="nerfacto",
         description="nerfacto + post-hoc linearized-Laplace posterior",
         model_config=_nerfacto(density_activation="softplus"),
+        use_camera_optimizer=True,
         laplace=True,
     ),
     "splatfacto": MethodSpec(

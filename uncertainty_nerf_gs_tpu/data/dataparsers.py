@@ -81,9 +81,17 @@ def auto_orient_and_center_poses(
     if center_method == "poses":
         translation = origins.mean(axis=0)
     elif center_method == "focus":
-        translation = origins.mean(axis=0)  # focus fallback: mean
-    else:
+        # nerfstudio camera_utils.focus_of_attention: least-squares point
+        # closest to all optical axes (-z view directions)
+        dirs = -poses[:, :3, 2:3]  # (N, 3, 1) forward
+        m = np.eye(3)[None] - dirs @ dirs.transpose(0, 2, 1)  # (N, 3, 3)
+        mt_m = m.transpose(0, 2, 1) @ m
+        rhs = (mt_m @ origins[:, :, None]).mean(axis=0)  # (3, 1)
+        translation = np.linalg.solve(mt_m.mean(axis=0), rhs)[:, 0]
+    elif center_method == "none":
         translation = np.zeros(3)
+    else:
+        raise ValueError(f"unsupported center method {center_method}")
 
     if method == "up":
         up = poses[:, :3, 1].mean(axis=0)
@@ -168,8 +176,11 @@ def _get_fname(
 
             with Image.open(test) as im:
                 w, h = im.size
+            # nerfstudio semantics: smallest power-of-two factor that brings
+            # max(w, h) to <= MAX_AUTO_RESOLUTION (a ~3118px Mip-NeRF 360
+            # image must parse at 2x, not full res)
             d = 0
-            while max(w, h) // (2 ** (d + 1)) >= MAX_AUTO_RESOLUTION:
+            while max(w, h) // (2**d) > MAX_AUTO_RESOLUTION:
                 d += 1
             downscale_factor = 2**d
         except Exception:

@@ -37,6 +37,24 @@ def load_images(outputs: DataparserOutputs) -> np.ndarray:
     return np.stack(imgs)
 
 
+def load_masks(outputs: DataparserOutputs) -> np.ndarray | None:
+    """Stack per-image masks when the parser listed them: (N, H, W) bool,
+    True = pixel participates in training (nerfstudio sampler semantics:
+    only nonzero-mask pixels are sampled)."""
+    if not getattr(outputs, "mask_filenames", None):
+        return None
+    from PIL import Image
+
+    masks = []
+    for p in outputs.mask_filenames:
+        with Image.open(p) as im:
+            arr = np.asarray(im)
+        if arr.ndim == 3:
+            arr = arr[..., 0]
+        masks.append(arr > 0)
+    return np.stack(masks)
+
+
 def load_depths(outputs: DataparserOutputs) -> np.ndarray | None:
     """Stack GT depth images when the parser listed them (blender-downscale
     test split)."""

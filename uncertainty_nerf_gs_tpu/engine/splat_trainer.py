@@ -46,12 +46,16 @@ SPLAT_GROUPS: dict[str, OptimizerGroupConfig] = {
 }
 
 
-def make_splat_optimizer(params: dict[str, jax.Array]) -> optax.GradientTransformation:
-    txs = {
+def make_splat_optimizer(
+    params: dict[str, jax.Array],
+) -> dict[str, optax.GradientTransformation]:
+    """One independent Adam per Gaussian attribute (splatfacto's per-group
+    optimizers). A plain dict (not multi_transform) so refinement can zero
+    moments of individual groups/slots (dup_in_optim semantics)."""
+    return {
         k: optax.adam(exp_decay_schedule(SPLAT_GROUPS[k]), eps=1e-15)
         for k in params
     }
-    return optax.multi_transform(txs, {k: k for k in params})
 
 
 @dataclasses.dataclass
@@ -77,18 +81,47 @@ class SplatfactoTrainer:
             None if self.point_colors is None else jnp.asarray(self.point_colors),
         )
         self.tx = make_splat_optimizer(self.params)
-        self.opt_state = self.tx.init(self.params)
+        self.opt_state = {k: self.tx[k].init(self.params[k]) for k in self.params}
         # camera tangents live outside the fixed-capacity gaussian buffer so
         # refinement compaction never touches them
         self.camera_opt = jnp.zeros((len(self.cameras), 6), jnp.float32)
         self.cam_tx = optax.adam(self.camera_opt_lr, eps=1e-15)
         self.cam_opt_state = self.cam_tx.init(self.camera_opt)
         self.images_dev = jnp.asarray(self.images, jnp.float32)
+        self._cam_rng = np.random.default_rng(self.seed + 17)
         self.step = 0
         self.scene_extent = float(
             jnp.max(jnp.abs(self.cameras.camera_to_worlds[:, :3, 3]))
         )
         self._step_fn = jax.jit(self._step_impl)
+
+    # --------------------------------------------------------------- resume
+    def state_dict(self) -> dict:
+        """Full resumable training state (incl. camera optimizer — the
+        reference checkpoints its camera_opt param group too)."""
+        return {
+            "params": self.params,
+            "opt_state": self.opt_state,
+            "camera_opt": self.camera_opt,
+            "cam_opt_state": self.cam_opt_state,
+            "splat_alive": np.asarray(self.splat_state.alive),
+            "step": np.asarray(self.step),
+        }
+
+    def restore(self, ckpt: dict) -> None:
+        self.params = jax.tree.map(jnp.asarray, ckpt["params"])
+        self.opt_state = jax.tree.map(jnp.asarray, ckpt["opt_state"])
+        if "camera_opt" in ckpt:
+            self.camera_opt = jnp.asarray(ckpt["camera_opt"])
+            self.cam_opt_state = jax.tree.map(jnp.asarray, ckpt["cam_opt_state"])
+        cap = self.config.capacity
+        self.splat_state = sf.SplatState(
+            alive=jnp.asarray(ckpt["splat_alive"], bool),
+            grad_accum=jnp.zeros((cap,)),
+            vis_count=jnp.zeros((cap,), jnp.int32),
+            max_radii=jnp.zeros((cap,)),
+        )
+        self.step = int(ckpt["step"])
 
     # ------------------------------------------------------------------ step
     def _step_impl(
@@ -129,7 +162,12 @@ class SplatfactoTrainer:
                 params, tap, camera_opt
             )
         )
-        updates, new_opt_state = self.tx.update(grads, opt_state, params)
+        updates = {}
+        new_opt_state = {}
+        for k in params:
+            updates[k], new_opt_state[k] = self.tx[k].update(
+                grads[k], opt_state[k], params[k]
+            )
         new_params = optax.apply_updates(params, updates)
         if self.use_camera_optimizer:
             cam_updates, new_cam_opt_state = self.cam_tx.update(
@@ -146,8 +184,10 @@ class SplatfactoTrainer:
 
     def train_step(self, key: jax.Array) -> dict[str, float]:
         cfg = self.config
-        k_cam, k_step = jax.random.split(jax.random.fold_in(key, self.step))
-        cam_idx = int(jax.random.randint(k_cam, (), 0, len(self.cameras)))
+        k_step = jax.random.fold_in(key, self.step)
+        # host-side numpy camera sampling: no device->host sync per step
+        # (the previous jax.random.randint round-trip stalled every step)
+        cam_idx = int(self._cam_rng.integers(0, len(self.cameras)))
         gt = self.images_dev[cam_idx]
         (
             self.params, self.opt_state, self.camera_opt, self.cam_opt_state,
@@ -185,19 +225,33 @@ class SplatfactoTrainer:
                         f"[refine] capacity overflow: dropped "
                         f"{int(info['num_dropped_capacity'])} new gaussians"
                     )
-                self._reset_moments()
+                self._zero_moment_slots(info["touched_slots"])
             if self.step % reset_period == 0:
                 self.params = sf.reset_opacities(self.params, cfg)
                 self._reset_moments(keys=("opacities",))
         return {k: float(v) for k, v in losses.items()}
 
-    def _reset_moments(self, keys: tuple[str, ...] | None = None) -> None:
-        """Zero Adam moments after refinement / opacity reset (new Gaussians
-        must not inherit stale momentum; splatfacto zeroes moments of
-        split/dup'd params — we reset all groups, a simplification that only
-        affects a few steps of momentum every refine_every)."""
-        del keys
-        self.opt_state = self.tx.init(self.params)
+    def _reset_moments(self, keys: tuple[str, ...]) -> None:
+        """Reinitialize the named groups' Adam states (splatfacto resets the
+        opacities optimizer entirely after each opacity reset)."""
+        for k in keys:
+            self.opt_state[k] = self.tx[k].init(self.params[k])
+
+    def _zero_moment_slots(self, touched: jax.Array) -> None:
+        """Zero Adam mu/nu rows ONLY for slots whose Gaussian was replaced
+        during refinement (splatfacto's dup_in_optim); surviving Gaussians
+        keep their momentum across refines."""
+        cap = touched.shape[0]
+
+        def zero_rows(leaf):
+            if hasattr(leaf, "ndim") and leaf.ndim >= 1 and leaf.shape[0] == cap:
+                mask = touched.reshape((cap,) + (1,) * (leaf.ndim - 1))
+                return jnp.where(mask, jnp.zeros_like(leaf), leaf)
+            return leaf
+
+        self.opt_state = {
+            k: jax.tree.map(zero_rows, st) for k, st in self.opt_state.items()
+        }
 
     def train(self, num_steps: int, log_every: int = 0, writer=None) -> dict[str, float]:
         key = jax.random.PRNGKey(self.seed + 1)

@@ -61,6 +61,9 @@ class NerfactoTrainer:
     seed: int = 0
     use_camera_optimizer: bool = False
     optimizer_groups: dict[str, OptimizerGroupConfig] | None = None
+    # (N, H, W) bool; True = trainable pixel (nerfstudio mask semantics:
+    # the pixel sampler only draws nonzero-mask pixels). None = all pixels.
+    masks: np.ndarray | None = None
 
     def __post_init__(self):
         self.model = NerfactoModel(self.config)
@@ -84,16 +87,50 @@ class NerfactoTrainer:
             params=params, opt_state=self.tx.init(params), step=jnp.zeros((), jnp.int32)
         )
         self.images_dev = jnp.asarray(self.images, jnp.float32)
+        if self.masks is not None:
+            # host-side list of valid (cam, y, x) triples; masked sampling
+            # draws uniformly from it (nerfstudio PixelSampler's
+            # torch.nonzero + random-choice approach)
+            self._valid_coords = np.argwhere(np.asarray(self.masks, bool))
+            if len(self._valid_coords) == 0:
+                raise ValueError("masks exclude every pixel")
+            self._mask_rng = np.random.default_rng(self.seed + 31)
         self._train_step = jax.jit(self._train_step_impl)
+
+    # --------------------------------------------------------------- resume
+    def restore(self, ckpt: dict) -> None:
+        """Resume from a ``{params, opt_state, step}`` checkpoint dict
+        (nerfstudio `ns-train --load-dir` semantics, SURVEY §5.4)."""
+        self.state = TrainState(
+            params=jax.tree.map(jnp.asarray, ckpt["params"]),
+            opt_state=jax.tree.map(jnp.asarray, ckpt["opt_state"]),
+            step=jnp.asarray(ckpt["step"], jnp.int32),
+        )
+
+    def state_dict(self) -> dict:
+        return {
+            "params": self.state.params,
+            "opt_state": self.state.opt_state,
+            "step": np.asarray(self.state.step),
+        }
 
     # ------------------------------------------------------------------ data
     def sample_batch(self, key: jax.Array, num_rays: int) -> dict[str, jax.Array]:
-        """Uniform pixel sampler over the cached image stack (device-side)."""
+        """Uniform pixel sampler over the cached image stack (device-side);
+        with masks, uniform over the valid-pixel list (host-side draw)."""
         n, h, w = self.images_dev.shape[:3]
-        k1, k2, k3 = jax.random.split(key, 3)
-        cam_idx = jax.random.randint(k1, (num_rays,), 0, n)
-        px = jax.random.randint(k2, (num_rays,), 0, w)
-        py = jax.random.randint(k3, (num_rays,), 0, h)
+        if self.masks is not None:
+            rows = self._valid_coords[
+                self._mask_rng.integers(0, len(self._valid_coords), num_rays)
+            ]
+            cam_idx = jnp.asarray(rows[:, 0], jnp.int32)
+            py = jnp.asarray(rows[:, 1], jnp.int32)
+            px = jnp.asarray(rows[:, 2], jnp.int32)
+        else:
+            k1, k2, k3 = jax.random.split(key, 3)
+            cam_idx = jax.random.randint(k1, (num_rays,), 0, n)
+            px = jax.random.randint(k2, (num_rays,), 0, w)
+            py = jax.random.randint(k3, (num_rays,), 0, h)
         rgb = self.images_dev[cam_idx, py, px]
         return {
             "camera_indices": cam_idx,

@@ -351,10 +351,20 @@ def get_average_uncertainty_metrics(
         if scale_file.exists():
             scale_a = float(np.loadtxt(scale_file, delimiter=","))
 
+    # warm-up render so jit compilation doesn't land in image 0's
+    # throughput numbers (the reference times a warm model per image,
+    # `eval_uncertainty.py:896-952`); compile time reported separately.
+    t_compile0 = time.perf_counter()
+    if num_images > 0:
+        warm = render_fn(0)
+        np.asarray(warm["rgb"])  # force materialization (axon arrays)
+        del warm
+    compile_and_first_render_sec = time.perf_counter() - t_compile0
+
     for i, gt in enumerate(gt_images):
         t0 = time.perf_counter()
         outputs = render_fn(i)
-        jax.block_until_ready(outputs["rgb"])
+        np.asarray(outputs["rgb"])
         dt = time.perf_counter() - t0
         h, w = np.asarray(outputs["rgb"]).shape[:2]
         m: dict[str, float] = {
@@ -370,10 +380,11 @@ def get_average_uncertainty_metrics(
             gt_rgb = gt_j[..., :3] * alpha + outputs["background"] * (1.0 - alpha)
         m["psnr"] = float(psnr(rgb, gt_rgb))
         m["ssim"] = float(ssim(rgb, gt_rgb))
-        try:
-            m["lpips"] = float(lpips(rgb, gt_rgb, lpips_params))
-        except Exception:
-            pass  # lpips optional (no pretrained weights in env)
+        # official-scale `lpips` only with loaded AlexNet weights; the
+        # random-feature fallback is reported under a distinct key so it is
+        # never mistaken for the published metric scale (VERDICT r1 item 4)
+        lpips_key = "lpips" if lpips_params is not None else "lpips_rand"
+        m[lpips_key] = float(lpips(rgb, gt_rgb, lpips_params))
 
         if options.eval_rgb_unc and "rgb_std" in outputs:
             r = rgb_uncertainty_metrics(
@@ -436,6 +447,8 @@ def get_average_uncertainty_metrics(
     results = {
         k: float(np.mean([m[k] for m in scalars if k in m])) for k in keys
     }
+    # jit compile + first render, reported separately from warm throughput
+    results["compile_and_first_render_sec"] = compile_and_first_render_sec
     artifacts = {
         "rgb_ause_curves": {k: v / num_images for k, v in rgb_curves_sum.items()},
         "depth_ause_curves": {k: v / num_images for k, v in depth_curves_sum.items()},

@@ -32,7 +32,12 @@ import jax
 import jax.numpy as jnp
 
 from uncertainty_nerf_gs_tpu.ops.activations import shifted_softplus, trunc_exp
-from uncertainty_nerf_gs_tpu.ops.encodings import HashEncoding, nerf_encoding, sh_encoding
+from uncertainty_nerf_gs_tpu.ops.encodings import (
+    CellHashEncoding,
+    HashEncoding,
+    nerf_encoding,
+    sh_encoding,
+)
 from uncertainty_nerf_gs_tpu.ops.mlp import MLP
 from uncertainty_nerf_gs_tpu.ops.spatial import contract_to_unit_cube, normalize_aabb
 
@@ -81,9 +86,13 @@ class NerfactoField(nn.Module):
     sh_levels: int = 4
     # bf16 hidden compute (reference AMP parity); heads stay f32
     compute_dtype: Any = None
+    # "cell" = cell-major grid, one gather per sample-level (TPU-fast; see
+    # ops/encodings.py cell-major notes); "corner" = tcnn-parity semantics
+    grid_layout: str = "cell"
 
     def setup(self):
-        self.encoding = HashEncoding(
+        enc_cls = CellHashEncoding if self.grid_layout == "cell" else HashEncoding
+        self.encoding = enc_cls(
             num_levels=self.num_levels,
             min_res=self.base_res,
             max_res=self.max_res,
@@ -157,6 +166,45 @@ class NerfactoField(nn.Module):
         if self.num_uncertainty_channels:
             unc = shifted_softplus(self.unc_head(trunk)[..., 0], self.beta_min)
         return density, trunk, unc, raw
+
+    def forward_from_feats(
+        self,
+        feats: jax.Array,
+        selector: jax.Array,
+        directions: jax.Array,
+        camera_indices: jax.Array,
+        *,
+        deterministic: bool = True,
+        use_average_appearance: bool = False,
+    ) -> FieldOutputs:
+        """Full field forward from precomputed hash-grid features.
+
+        Used by the fused ensemble render (`parallel/ensemble_fused.py`):
+        the member-packed gather produces per-member features outside the
+        module, then this runs the member's MLPs/heads under `vmap`.
+        """
+        trunk = self.base_mlp(feats, deterministic=deterministic)
+        raw = self.density_head(trunk)[..., 0]
+        density = self._activate_density(raw) * selector
+        unc = None
+        if self.num_uncertainty_channels:
+            unc = shifted_softplus(self.unc_head(trunk)[..., 0], self.beta_min)
+        pen = self.get_color_features(
+            trunk,
+            directions,
+            camera_indices,
+            deterministic=deterministic,
+            use_average_appearance=use_average_appearance,
+        )
+        rgb = nn.sigmoid(self.rgb_head(pen))
+        return FieldOutputs(
+            density=density,
+            rgb=rgb,
+            uncertainty=unc,
+            density_before_activation=raw,
+            trunk=trunk,
+            color_penultimate=pen,
+        )
 
     def get_color_features(
         self,
@@ -250,9 +298,28 @@ class ProposalDensityField(nn.Module):
     # those gathers for MXU matmuls (near-free).
     field_type: str = "hash"
     num_frequencies: int = 5
+    grid_layout: str = "cell"  # see NerfactoField.grid_layout
 
-    @nn.compact
-    def __call__(self, positions: jax.Array) -> jax.Array:
+    def setup(self):
+        if self.field_type != "mlp":
+            enc_cls = (
+                CellHashEncoding if self.grid_layout == "cell" else HashEncoding
+            )
+            self.encoding = enc_cls(
+                num_levels=self.num_levels,
+                min_res=self.base_res,
+                max_res=self.max_res,
+                log2_hashmap_size=self.log2_hashmap_size,
+                features_per_level=self.features_per_level,
+            )
+        self.mlp = MLP(
+            num_layers=self.num_layers,
+            layer_width=self.hidden_dim,
+            out_dim=1,
+            compute_dtype=self.compute_dtype,
+        )
+
+    def _normalize(self, positions: jax.Array):
         if self.use_scene_contraction:
             normalized = contract_to_unit_cube(positions)
             selector = jnp.ones(positions.shape[:-1], positions.dtype)
@@ -262,6 +329,17 @@ class ProposalDensityField(nn.Module):
             inside = jnp.all((normalized >= 0.0) & (normalized <= 1.0), axis=-1)
             selector = inside.astype(positions.dtype)
             normalized = jnp.clip(normalized, 0.0, 1.0)
+        return normalized, selector
+
+    def density_from_feats(
+        self, feats: jax.Array, selector: jax.Array
+    ) -> jax.Array:
+        """Density from precomputed grid features (fused ensemble path)."""
+        raw = self.mlp(feats)[..., 0]
+        return trunc_exp(raw) * selector
+
+    def __call__(self, positions: jax.Array) -> jax.Array:
+        normalized, selector = self._normalize(positions)
         if self.field_type == "mlp":
             feats = nerf_encoding(
                 normalized,
@@ -271,17 +349,5 @@ class ProposalDensityField(nn.Module):
                 include_input=True,
             )
         else:
-            feats = HashEncoding(
-                num_levels=self.num_levels,
-                min_res=self.base_res,
-                max_res=self.max_res,
-                log2_hashmap_size=self.log2_hashmap_size,
-                features_per_level=self.features_per_level,
-            )(normalized)
-        raw = MLP(
-            num_layers=self.num_layers,
-            layer_width=self.hidden_dim,
-            out_dim=1,
-            compute_dtype=self.compute_dtype,
-        )(feats)[..., 0]
-        return trunc_exp(raw) * selector
+            feats = self.encoding(normalized)
+        return self.density_from_feats(feats, selector)

@@ -74,6 +74,9 @@ class NerfactoConfig:
     # ProposalDensityField.field_type) — per-net override via
     # proposal_net_args["field_type"]
     proposal_field_type: str = "hash"
+    # hash-grid physical layout: "cell" (one gather per sample-level,
+    # TPU-fast, the default) or "corner" (tcnn-parity semantics)
+    grid_layout: str = "cell"
     proposal_net_args: tuple = (
         dict(num_levels=5, max_res=128, log2_hashmap_size=17, hidden_dim=16),
         dict(num_levels=5, max_res=256, log2_hashmap_size=17, hidden_dim=16),
@@ -122,6 +125,7 @@ class NerfactoModel(nn.Module):
                 aabb=cfg.aabb,
                 compute_dtype=compute_dtype,
                 field_type=args.get("field_type", cfg.proposal_field_type),
+                grid_layout=cfg.grid_layout,
                 name=f"proposal_{i}",
             )
             for i, args in enumerate(cfg.proposal_net_args)
@@ -149,6 +153,7 @@ class NerfactoModel(nn.Module):
             rgb_dropout_layers=cfg.rgb_dropout_layers,
             dropout_rate=cfg.dropout_rate,
             compute_dtype=compute_dtype,
+            grid_layout=cfg.grid_layout,
             name="field",
         )
 

@@ -121,14 +121,14 @@ def init_gaussians(
     (`activesplatfacto_model.py:57-61`).
     """
     cap = config.capacity
-    k_pts, k_quat, k_unc = jax.random.split(key, 3)
+    k_pts, k_col, k_quat, k_unc = jax.random.split(key, 4)
     if points is None:
         n = min(config.num_random, cap)
         points = (
             jax.random.uniform(k_pts, (n, 3), minval=-1.0, maxval=1.0)
             * config.random_scale
         )
-        colors = jax.random.uniform(k_pts, (n, 3))
+        colors = jax.random.uniform(k_col, (n, 3))
     n = min(points.shape[0], cap)
     points = jnp.asarray(points[:n], jnp.float32)
     colors = (
@@ -137,10 +137,23 @@ def init_gaussians(
         else jnp.full((n, 3), 0.5)
     )
 
-    # mean 3-NN distance (chunked O(N^2), host-size N only at init)
-    d2 = jnp.sum((points[:, None] - points[None]) ** 2, -1)
-    d2 = d2 + jnp.eye(n) * 1e10
-    nn3 = jnp.sort(d2, axis=-1)[:, :3]
+    # mean 3-NN distance, chunked O(N^2) so the distance matrix never
+    # materializes (65k points would need a 17 GB full matrix)
+    chunk = 1024
+    pad_n = (-n) % chunk
+    pts_pad = jnp.concatenate(
+        [points, jnp.full((pad_n, 3), 1e10, points.dtype)], 0
+    )
+
+    def chunk_nn3(start):
+        blk = jax.lax.dynamic_slice(pts_pad, (start, 0), (chunk, 3))
+        d2 = jnp.sum((blk[:, None] - points[None]) ** 2, -1)  # (chunk, n)
+        row = jnp.arange(chunk) + start
+        d2 = jnp.where(row[:, None] == jnp.arange(n)[None], 1e10, d2)
+        return -jax.lax.top_k(-d2, 3)[0]  # (chunk, 3) smallest
+
+    starts = jnp.arange(0, n + pad_n, chunk)
+    nn3 = jax.lax.map(chunk_nn3, starts).reshape(-1, 3)[:n]
     avg_dist = jnp.sqrt(jnp.maximum(jnp.mean(nn3, -1), 1e-12))
     log_scales = jnp.log(jnp.maximum(avg_dist, 1e-6))[:, None].repeat(3, axis=1)
 
@@ -256,9 +269,15 @@ def render_splat(
     if background is None:
         background = jnp.zeros(3) if config.background_color == "black" else jnp.ones(3)
     rgb = img[..., :3] + (1.0 - alpha[..., None]) * background
-    # alpha-normalized depth (`activesplatfacto_model.py:305-319`)
+    # alpha-normalized depth (`activesplatfacto_model.py:305-319`); pixels
+    # with zero coverage get the max rendered depth like the reference's
+    # torch.where(alpha > 0, depth / alpha, depth.max())
     d1 = img[..., 3] / alpha_safe
     d2 = img[..., 4] / alpha_safe
+    covered = alpha > 0.0
+    far_fill = jnp.max(jnp.where(covered, d1, 0.0))
+    d1 = jnp.where(covered, d1, far_fill)
+    d2 = jnp.where(covered, d2, far_fill**2)
     depth_var = jnp.maximum(d2 - d1**2, 0.0) + 1e-5
 
     outputs: dict[str, Any] = {
@@ -273,11 +292,14 @@ def render_splat(
         "raster_overflow": out.max_overflow,
     }
     if config.uncertainty_channels:
-        # black-background uncertainty map (`activesplatfacto_model.py:286-301`)
-        rgb_var = img[..., 5]
-        outputs["uncertainty"] = rgb_var
-        outputs["rgb_var"] = rgb_var
-        outputs["rgb_std"] = jnp.sqrt(jnp.maximum(rgb_var, 0.0))
+        # black-background uncertainty map (`activesplatfacto_model.py:
+        # 286-301`). Reference semantics: the composited softplus channel is
+        # a per-pixel STD (betas), so rgb_std = channel and rgb_var =
+        # channel^2 (`activesplatfacto_model.py:358-364`, loss `:392-395`).
+        rgb_std = jnp.maximum(img[..., 5], 0.0)
+        outputs["uncertainty"] = rgb_std
+        outputs["rgb_std"] = rgb_std
+        outputs["rgb_var"] = rgb_std**2
     return outputs
 
 
@@ -384,7 +406,10 @@ def _compact_into_free(
         .at[dest]
         .set(True, mode="drop")[:cap]
     )
-    return out, alive, num_dropped
+    written = (
+        jnp.zeros((cap + 1,), bool).at[dest].set(True, mode="drop")[:cap]
+    )
+    return out, alive, num_dropped, written
 
 
 def refine_gaussians(
@@ -459,7 +484,7 @@ def refine_gaussians(
     params["means"] = jnp.where(splits[:, None], split_means[0], params["means"])
     params["scales"] = jnp.where(splits[:, None], split_scales, params["scales"])
 
-    params, alive, dropped = _compact_into_free(
+    params, alive, dropped, written = _compact_into_free(
         params, state, new_rows, want_new
     )
 
@@ -478,6 +503,10 @@ def refine_gaussians(
         "num_dup": jnp.sum(dups),
         "num_culled": jnp.sum(cull & state.alive),
         "num_dropped_capacity": dropped,
+        # slots whose Gaussian was replaced this refine (new children +
+        # in-place split sample 0) — their Adam moments must be zeroed
+        # (splatfacto's dup_in_optim semantics)
+        "touched_slots": written | splits,
     }
     new_state = SplatState(
         alive=alive,

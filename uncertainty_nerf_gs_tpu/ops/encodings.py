@@ -19,7 +19,7 @@ laplace/laplace_field.py:91,116-136`):
 from __future__ import annotations
 
 import math
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax
@@ -200,6 +200,237 @@ def hash_encoding_lookup(
             feats_lvl.append(jnp.sum(vals * w, axis=0))  # (n,)
         outs.append(jnp.stack(feats_lvl, 0))  # (F, n)
     return jnp.concatenate(outs, 0).T  # (n, L*F)
+
+
+# ---------------------------------------------------------------------------
+# Cell-major hash grid (TPU-fast layout).
+# ---------------------------------------------------------------------------
+#
+# The corner-major (tcnn-semantics) lookup above needs 8 row gathers per
+# (sample, level) — XLA's dynamic row gather is the single-chip throughput
+# ceiling for the whole nerfacto forward (STATUS.md r1). The cell-major
+# layout stores ALL 8 corner feature vectors of a grid cell contiguously in
+# one table row, so one gather per (sample, level) fetches everything the
+# trilinear interpolation needs; with F=2 a 128-lane row holds 8 cells'
+# payloads (8 corners x 2 feats = 16 floats each).
+#
+# Semantics deviation vs tcnn (documented, validated by overfit tests):
+# corner features are NOT shared between adjacent cells (each cell owns its
+# 8 corners), so the encoded field may be discontinuous across cell faces.
+# The encoding is strictly more expressive (it can represent any
+# corner-shared configuration) and the MLP smooths the result; measured
+# overfit quality matches the corner layout (see tests/test_ops.py).
+# Dense indexing applies when res^3 fits the table; finer levels hash the
+# cell base coordinate (collisions alias whole cells, like tcnn aliases
+# corners).
+
+
+def cell_indices(
+    positions: jax.Array, res: int, table_size: int
+) -> tuple[jax.Array, jax.Array]:
+    """Cell index + trilinear corner weights for (n, 3) positions in [0,1].
+
+    Returns (idx (n,), weights (n, 8)); corner order c = 4x + 2y + z matches
+    the in-row corner packing of `CellHashEncoding`.
+    """
+    scaled = positions * res
+    base = jnp.floor(jnp.clip(scaled, 0, res * (1 - 1e-7))).astype(jnp.int32)
+    base = jnp.minimum(base, res - 1)
+    frac = scaled - base.astype(scaled.dtype)
+    if res**3 <= table_size:
+        idx = base[..., 0] + res * (base[..., 1] + res * base[..., 2])
+    else:
+        idx = _hash_corner_indices(base, jnp.int32(res), table_size)
+    wx = jnp.stack([1.0 - frac[..., 0], frac[..., 0]], -1)  # (n, 2)
+    wy = jnp.stack([1.0 - frac[..., 1], frac[..., 1]], -1)
+    wz = jnp.stack([1.0 - frac[..., 2], frac[..., 2]], -1)
+    w = (
+        wx[..., :, None, None] * wy[..., None, :, None] * wz[..., None, None, :]
+    ).reshape(positions.shape[:-1] + (8,))
+    return idx, w
+
+
+def _lerp_matrices(num_lanes: int, group: int, out_dim: int, dtype=jnp.float32):
+    """Constant 0/1 matrices for the lane-space trilerp reduction.
+
+    B (8, num_lanes): broadcasts the 8 corner weights across each corner's
+    ``group`` lanes (corner c owns lanes [c*group, (c+1)*group)).
+    S (num_lanes, out_dim): sums lane k of every corner block into output
+    lane k (out_dim = group, or fewer when the block has padding).
+
+    Rationale: reshaping gathered 128-lane rows to (n, 8, F) forces
+    lane->sublane relayouts that cost as much as the gather itself on a
+    v5e; expressing "weight each corner block, then sum blocks" as two
+    small matmuls keeps everything in the lane dimension (MXU-friendly,
+    zero transposes).
+    """
+    b = np.zeros((8, num_lanes), np.float32)
+    s = np.zeros((num_lanes, out_dim), np.float32)
+    for c in range(8):
+        b[c, c * group : (c + 1) * group] = 1.0
+        s[c * group : c * group + out_dim, :] = np.eye(out_dim, dtype=np.float32)
+    return jnp.asarray(b, dtype), jnp.asarray(s, dtype)
+
+
+def cell_lookup(
+    table_rows: jax.Array,
+    positions: jax.Array,
+    resolutions: Sequence[int],
+    table_size: int,
+    features_per_level: int = 2,
+) -> jax.Array:
+    """Single-member cell-major lookup.
+
+    table_rows: (L, n_rows, 128) with ``cpr = 128 // (8 F)`` cells packed
+    per 128-lane row (cell c lives at lanes [(c % cpr) * 8F, ...)).
+    Returns (n, L*F). All post-gather math stays in the lane dimension
+    (see `_lerp_matrices`): cell selection is a one-hot-masked lane
+    reduction, trilerp a pair of constant matmuls.
+    """
+    feats = features_per_level
+    block = 8 * feats  # lanes per cell
+    cpr = 128 // block
+    n = positions.shape[0]
+    # cell-block select: one-hot(cell position in row) -> 128-lane mask
+    cell_b = np.zeros((cpr, 128), np.float32)
+    for c in range(cpr):
+        cell_b[c, c * block : (c + 1) * block] = 1.0
+    cell_b = jnp.asarray(cell_b)
+    cell_s = np.zeros((128, block), np.float32)
+    for c in range(cpr):
+        cell_s[c * block : (c + 1) * block, :] = np.eye(block, dtype=np.float32)
+    cell_s = jnp.asarray(cell_s)
+    corner_b, corner_s = _lerp_matrices(block, feats, feats)
+
+    outs = []
+    for lvl, res in enumerate(np.asarray(resolutions)):
+        idx, w = cell_indices(positions, int(res), table_size)
+        rows = table_rows[lvl][idx // cpr]  # (n, 128): ONE gather per sample
+        onehot = jax.nn.one_hot(idx % cpr, cpr, dtype=rows.dtype)  # (n, cpr)
+        mask = onehot @ cell_b.astype(rows.dtype)  # (n, 128)
+        cell = (rows * mask) @ cell_s.astype(rows.dtype)  # (n, 8F)
+        wl = (w.astype(cell.dtype) @ corner_b.astype(cell.dtype))  # (n, 8F)
+        outs.append((cell * wl) @ corner_s.astype(cell.dtype))  # (n, F)
+    return jnp.concatenate(outs, axis=-1).astype(jnp.float32)
+
+
+def pack_member_cell_tables(
+    stacked_rows: jax.Array,
+    table_size: int,
+    features_per_level: int = 2,
+    dtype: Any = None,
+) -> jax.Array:
+    """Repack M stacked member cell tables into ensemble-eval rows.
+
+    stacked_rows: (M, L, n_rows, 128) member tables (train layout).
+    Returns (L, table_size, lanes) where each row holds one cell's
+    8 corners x M members x F features contiguously (lanes padded up to a
+    multiple of 128), so one gather serves the whole ensemble. Done once
+    per eval setup — a pure transpose/reshape on device.
+    """
+    feats = features_per_level
+    cpr = 128 // (8 * feats)
+    m, levels, n_rows, _ = stacked_rows.shape
+    payload = 8 * m * feats
+    lanes = ((payload + 127) // 128) * 128
+    # (M, L, rows, cpr, 8, F) -> (L, T, 8, M, F) -> (L, T, 8*M*F)
+    cells = stacked_rows.reshape(m, levels, n_rows, cpr, 8, feats)
+    cells = cells.reshape(m, levels, n_rows * cpr, 8, feats)[:, :, :table_size]
+    packed = jnp.transpose(cells, (1, 2, 3, 0, 4)).reshape(
+        levels, table_size, payload
+    )
+    packed = jnp.pad(packed, ((0, 0), (0, 0), (0, lanes - payload)))
+    if dtype is not None:
+        packed = packed.astype(dtype)
+    return packed
+
+
+def packed_cell_lookup(
+    packed: jax.Array,
+    positions: jax.Array,
+    resolutions: Sequence[int],
+    table_size: int,
+    num_members: int,
+    features_per_level: int = 2,
+) -> jax.Array:
+    """Ensemble cell-major lookup: one gather serves all M members.
+
+    packed: (L, table_size, lanes) from `pack_member_cell_tables` (corner c
+    of a cell owns lanes [c*M*F, (c+1)*M*F)). Returns (M, n, L*F) float32.
+
+    Post-gather math is lane-space matmuls (see `_lerp_matrices`): trilerp
+    reduces each level to (n, M*F) member-major lanes; a final per-member
+    0/1 lane-permutation matmul splits members into a leading batch axis
+    without lane->sublane relayouts.
+    """
+    feats = features_per_level
+    m = num_members
+    mf = m * feats
+    lanes = packed.shape[-1]
+    n = positions.shape[0]
+    levels = len(np.asarray(resolutions))
+    corner_b, corner_s = _lerp_matrices(lanes, mf, mf)
+
+    outs = []
+    for lvl, res in enumerate(np.asarray(resolutions)):
+        idx, w = cell_indices(positions, int(res), table_size)
+        rows = packed[lvl][idx]  # (n, lanes)
+        wl = w.astype(rows.dtype) @ corner_b.astype(rows.dtype)  # (n, lanes)
+        outs.append(((rows * wl) @ corner_s.astype(rows.dtype)))  # (n, MF)
+    all_lvls = jnp.concatenate(outs, axis=-1).astype(jnp.float32)  # (n, L*MF)
+
+    # member split: out[mm, :, l*F+f] = all_lvls[:, l*MF + mm*F + f]
+    perms = np.zeros((m, levels * mf, levels * feats), np.float32)
+    for mm in range(m):
+        for lvl in range(levels):
+            for f in range(feats):
+                perms[mm, lvl * mf + mm * feats + f, lvl * feats + f] = 1.0
+    perms = jnp.asarray(perms)
+    return jnp.einsum("nk,mko->mno", all_lvls, perms)
+
+
+class CellHashEncoding(nn.Module):
+    """Cell-major multi-resolution hash grid (one gather per sample-level).
+
+    Same constructor surface as :class:`HashEncoding`; owns a
+    ``(L, n_rows, 128)`` packed ``cells`` param (cpr cells per row) so the
+    array never lane-pads at rest.
+    """
+
+    num_levels: int = 16
+    min_res: int = 16
+    max_res: int = 2048
+    log2_hashmap_size: int = 19
+    features_per_level: int = 2
+    init_scale: float = 1e-4
+
+    @property
+    def output_dim(self) -> int:
+        return self.num_levels * self.features_per_level
+
+    @nn.compact
+    def __call__(self, positions: jax.Array) -> jax.Array:
+        assert 128 % (8 * self.features_per_level) == 0
+        table_size = 2**self.log2_hashmap_size
+        cpr = 128 // (8 * self.features_per_level)
+        n_rows = (table_size + cpr - 1) // cpr
+        cells = self.param(
+            "cells",
+            lambda key: jax.random.uniform(
+                key,
+                (self.num_levels, n_rows, 128),
+                minval=-self.init_scale,
+                maxval=self.init_scale,
+            ),
+        )
+        resolutions = hash_grid_resolutions(
+            self.num_levels, self.min_res, self.max_res
+        )
+        flat = positions.reshape(-1, 3)
+        out = cell_lookup(
+            cells, flat, resolutions, table_size, self.features_per_level
+        )
+        return out.reshape(*positions.shape[:-1], self.output_dim)
 
 
 def hash_grid_resolutions(

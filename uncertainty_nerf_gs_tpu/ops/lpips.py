@@ -117,10 +117,21 @@ def _unit_normalize(x: jax.Array, eps: float = 1e-10) -> jax.Array:
     return x / (norm + eps)
 
 
+_MIN_SIZE = 64  # below this, AlexNet's stride/pool chain collapses a
+# spatial dim to zero (empty mean -> NaN); tiny inputs are bilinearly
+# upsampled first (torchmetrics' LPIPS likewise requires larger images).
+
+
 @functools.partial(jax.jit, static_argnames=())
 def _lpips_impl(params, img0: jax.Array, img1: jax.Array) -> jax.Array:
     # (H, W, 3) in [0,1] -> normalized (1, 3, H, W)
     def prep(img):
+        h, w = img.shape[:2]
+        if min(h, w) < _MIN_SIZE:
+            scale = -(-_MIN_SIZE // min(h, w))  # integer upscale factor
+            img = jax.image.resize(
+                img, (h * scale, w * scale, 3), method="bilinear"
+            )
         img = img.astype(jnp.float32) * 2.0 - 1.0
         img = (img - jnp.asarray(_SHIFT)) / jnp.asarray(_SCALE)
         return img.transpose(2, 0, 1)[None]

@@ -1,0 +1,249 @@
+"""Fused shared-gather ensemble render (the round-2 throughput path).
+
+The round-1 ensemble render ran M independent member forwards, so the hash
+-grid row gathers — the measured single-chip bottleneck (XLA dynamic-gather
+issue rate) — were paid M times. This path exploits two structural facts:
+
+  1. members share the SAME sample positions when the proposal chain is
+     shared, so the gather indices are identical across members;
+  2. the cell-major grid layout (`ops/encodings.py`) packs a cell's whole
+     trilinear payload in one row, so member features can be lane-stacked:
+     one row gather of 8 corners x M members x F features serves the entire
+     ensemble.
+
+Pipeline per chunk: shared proposal hierarchy (per-member proposal
+densities from ONE packed gather, averaged across members -> one PDF
+resample), then the main field as ONE packed gather + vmapped member MLPs;
+the compositing tail runs per member and feeds the reference combination
+rule (`models/ensemble.py::combine_ensemble_outputs`).
+
+Semantics deviation vs the reference's sequential loop
+(`/root/reference/nerfuncertainty/models/ensemble/ensemble_pipeline.py:
+155-157`): members see shared proposal samples (from the member-mean
+proposal density) instead of their own. Validated against per-member
+rendering in tests/test_ensemble_fused.py (PSNR/variance deltas).
+
+Multi-chip: shard the RAY axis over the mesh ("data"); the packed tables
+replicate (members are fused inside each chip's gather, so no "member"
+axis remains to shard).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from uncertainty_nerf_gs_tpu.models.ensemble import combine_ensemble_outputs
+from uncertainty_nerf_gs_tpu.models.nerfacto import NerfactoConfig, NerfactoModel
+from uncertainty_nerf_gs_tpu.ops import raymarch
+from uncertainty_nerf_gs_tpu.ops.encodings import (
+    hash_grid_resolutions,
+    pack_member_cell_tables,
+    packed_cell_lookup,
+)
+from uncertainty_nerf_gs_tpu.ops.sampling import (
+    RayBundle,
+    sample_pdf,
+    sample_uniform,
+)
+from uncertainty_nerf_gs_tpu.ops.spatial import (
+    contract_to_unit_cube,
+    normalize_aabb,
+)
+
+
+def _aabb(cfg: NerfactoConfig):
+    if cfg.aabb is not None:
+        return jnp.asarray(cfg.aabb, jnp.float32)
+    return jnp.asarray(((-1.5, -1.5, -1.5), (1.5, 1.5, 1.5)), jnp.float32)
+
+
+def _normalize_positions(cfg: NerfactoConfig, positions: jax.Array):
+    """Mirror of NerfactoField._normalize_positions as a pure function."""
+    if cfg.use_scene_contraction:
+        return contract_to_unit_cube(positions), jnp.ones(
+            positions.shape[:-1], positions.dtype
+        )
+    normalized = normalize_aabb(positions, _aabb(cfg))
+    inside = jnp.all((normalized >= 0.0) & (normalized <= 1.0), axis=-1)
+    return jnp.clip(normalized, 0.0, 1.0), inside.astype(positions.dtype)
+
+
+def _prop_grid_spec(cfg: NerfactoConfig, i: int) -> tuple[np.ndarray, int]:
+    args = cfg.proposal_net_args[i]
+    res = hash_grid_resolutions(
+        args.get("num_levels", 5), 16, args.get("max_res", 128)
+    )
+    return res, 2 ** args.get("log2_hashmap_size", 17)
+
+
+def pack_ensemble_tables(
+    model: NerfactoModel, stacked_params: Any, table_dtype: Any = None
+) -> dict[str, jax.Array | None]:
+    """One-time repack of stacked member cell tables into fused eval rows.
+
+    Requires ``grid_layout == "cell"``. Returns
+    ``{"field": (L, T, lanes), "proposal_i": ... or None (mlp proposals)}``.
+    """
+    cfg = model.config
+    assert cfg.grid_layout == "cell", "fused ensemble needs the cell layout"
+    F = cfg.features_per_level
+    out: dict[str, jax.Array | None] = {}
+
+    @jax.jit
+    def pack_main(rows):
+        return pack_member_cell_tables(
+            rows, 2**cfg.log2_hashmap_size, F, dtype=table_dtype
+        )
+
+    out["field"] = pack_main(stacked_params["field"]["encoding"]["cells"])
+    for i in range(len(cfg.proposal_net_args)):
+        p = stacked_params.get(f"proposal_{i}", {})
+        if "encoding" in p:
+            _, tsize = _prop_grid_spec(cfg, i)
+
+            @jax.jit
+            def pack_prop(rows, tsize=tsize):
+                return pack_member_cell_tables(rows, tsize, F, dtype=table_dtype)
+
+            out[f"proposal_{i}"] = pack_prop(p["encoding"]["cells"])
+        else:
+            out[f"proposal_{i}"] = None  # mlp proposal: gather-free
+    return out
+
+
+def build_fused_ensemble_render(
+    model: NerfactoModel,
+    mesh: Mesh | None = None,
+    parity_mode: bool = True,
+) -> Callable:
+    """Returns jitted ``render(stacked_params, packed_tables, ray_bundle)``.
+
+    ``packed_tables`` from :func:`pack_ensemble_tables` (built once per
+    checkpoint, not per chunk). With a mesh, the ray axis shards over
+    "data" and the tables/params replicate.
+    """
+    cfg = model.config
+    F = cfg.features_per_level
+    main_res = hash_grid_resolutions(cfg.num_levels, cfg.base_res, cfg.max_res)
+    main_T = 2**cfg.log2_hashmap_size
+
+    def render(stacked_params, packed, ray_bundle: RayBundle):
+        m = jax.tree.leaves(stacked_params)[0].shape[0]
+        rb = ray_bundle._replace(
+            nears=jnp.full_like(ray_bundle.nears, cfg.near_plane),
+            fars=jnp.full_like(ray_bundle.fars, cfg.far_plane),
+        )
+        num_prop = len(cfg.proposal_net_args)
+
+        # --- shared proposal hierarchy --------------------------------
+        rs = sample_uniform(rb, cfg.num_proposal_samples[0], key=None)
+        for i in range(num_prop):
+            pos = rs.positions  # (R, S, 3)
+            norm, sel = _normalize_positions(cfg, pos)
+            tbl = packed[f"proposal_{i}"]
+            if tbl is not None:
+                res_i, tsize_i = _prop_grid_spec(cfg, i)
+                feats = packed_cell_lookup(
+                    tbl, norm.reshape(-1, 3), res_i, tsize_i, m, F
+                ).reshape(m, *pos.shape[:-1], -1)  # (M, R, S, LF)
+
+                def member_density(params, f, i=i, sel=sel):
+                    return model.apply(
+                        {"params": params},
+                        f,
+                        sel,
+                        method=lambda mdl, f, s: mdl.proposal_fields[
+                            i
+                        ].density_from_feats(f, s),
+                    )
+
+                d = jax.vmap(member_density, in_axes=(0, 0))(
+                    stacked_params, feats
+                )  # (M, R, S)
+            else:  # gather-free mlp proposal: vmap the full field
+                def member_density_mlp(params, i=i, pos=pos):
+                    return model.apply(
+                        {"params": params},
+                        pos,
+                        method=lambda mdl, p: mdl.proposal_fields[i](p),
+                    )
+
+                d = jax.vmap(member_density_mlp)(stacked_params)
+            d_shared = jnp.mean(d, axis=0)  # member-mean proposal density
+            w = raymarch.render_weights(d_shared, rs.deltas)
+            n_next = (
+                cfg.num_proposal_samples[i + 1]
+                if i + 1 < num_prop
+                else cfg.num_nerf_samples
+            )
+            rs = sample_pdf(rb, rs.spacing_edges, w, n_next, key=None)
+
+        # --- main field: one packed gather + vmapped member MLPs -------
+        pos = rs.positions  # (R, S, 3)
+        norm, sel = _normalize_positions(cfg, pos)
+        feats = packed_cell_lookup(
+            packed["field"], norm.reshape(-1, 3), main_res, main_T, m, F
+        ).reshape(m, *pos.shape[:-1], -1)
+
+        def member_field(params, f):
+            return model.apply(
+                {"params": params},
+                f,
+                sel,
+                rb.directions,
+                rb.camera_indices,
+                method=lambda mdl, f, s, d, ci: mdl.field.forward_from_feats(
+                    f, s, d, ci, use_average_appearance=True
+                ),
+            )
+
+        fo = jax.vmap(member_field, in_axes=(0, 0))(stacked_params, feats)
+
+        steps = rs.midpoints
+        deltas = rs.deltas
+
+        def member_tail(density_raw, rgb, unc):
+            density = cfg.average_init_density * density_raw
+            weights = raymarch.render_weights(density, deltas)
+            if cfg.background_color == "white":
+                background = jnp.ones(3)
+            elif cfg.background_color == "last_sample":
+                background = jax.lax.stop_gradient(rgb[..., -1, :])
+            else:
+                background = jnp.zeros(3)
+            out = {
+                "rgb": raymarch.render_rgb(weights, rgb, background),
+                "accumulation": raymarch.render_accumulation(weights),
+            }
+            depth = raymarch.render_median_depth(weights, steps)
+            out["depth"] = depth
+            out["expected_depth"] = raymarch.render_expected_depth(weights, steps)
+            dv = raymarch.depth_variance(weights, steps, depth)
+            out["depth_var"] = dv
+            out["depth_std"] = jnp.sqrt(dv)
+            if unc is not None:
+                betas = jnp.nan_to_num(unc, nan=0.0)
+                rv = raymarch.render_uncertainty(betas, weights**2)
+                out["rgb_var"] = rv
+                out["rgb_std"] = jnp.sqrt(rv)
+            return out
+
+        stacked = jax.vmap(member_tail)(
+            fo.density, fo.rgb, fo.uncertainty
+        )
+        return combine_ensemble_outputs(stacked, parity_mode=parity_mode)
+
+    if mesh is None:
+        return jax.jit(render)
+    repl = NamedSharding(mesh, P())
+    data = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        render,
+        in_shardings=(repl, repl, data),
+        out_shardings=repl,
+    )

@@ -262,9 +262,23 @@ def build_ensemble_render_fn(run_dirs: list[Path], seed: int = 0):
         ]
     )
 
-    @jax.jit
-    def chunk_fn(rb):
-        return ensemble_render(base.model, stacked, rb)
+    if base.config.grid_layout == "cell":
+        # fused shared-gather path: one gather serves all members
+        from uncertainty_nerf_gs_tpu.parallel.ensemble_fused import (
+            build_fused_ensemble_render,
+            pack_ensemble_tables,
+        )
+
+        packed = pack_ensemble_tables(base.model, stacked, table_dtype=jnp.bfloat16)
+        fused = build_fused_ensemble_render(base.model)
+
+        def chunk_fn(rb):
+            return fused(stacked, packed, rb)
+    else:
+
+        @jax.jit
+        def chunk_fn(rb):
+            return ensemble_render(base.model, stacked, rb)
 
     render = _nerfacto_full_image_renderer(base, chunk_fn, eval_outputs.cameras)
     return render, eval_outputs, eval_images
@@ -285,8 +299,18 @@ def main(argv: list[str] | None = None) -> dict:
     ap.add_argument("--prior-prec", type=float, default=1.0)
     ap.add_argument("--dataset-path", default=None,
                     help="dir with depth_gt_XX.npy + scale_parameters.txt")
+    ap.add_argument("--lpips-weights", default=None,
+                    help=".npz of converted official AlexNet LPIPS weights "
+                         "(scripts/convert_lpips_weights.py); without it "
+                         "scores are reported as lpips_rand, not lpips")
     ap.add_argument("--experiment-name", default="experiment")
     args = ap.parse_args(argv)
+
+    lpips_params = None
+    if args.lpips_weights:
+        from uncertainty_nerf_gs_tpu.ops.lpips import load_params
+
+        lpips_params = load_params(args.lpips_weights)
 
     run_dirs = [Path(p) for p in args.load_config]
     if len(run_dirs) > 1:
@@ -317,7 +341,9 @@ def main(argv: list[str] | None = None) -> dict:
         method_name=method_name,
         checkpoint=ckpt,
     )
-    out = get_average_uncertainty_metrics(render_fn, eval_images, options)
+    out = get_average_uncertainty_metrics(
+        render_fn, eval_images, options, lpips_params=lpips_params
+    )
     write_benchmark_json(options.output_path, out["results"], options)
     print(json.dumps(out["results"], indent=2, default=float))
     return out

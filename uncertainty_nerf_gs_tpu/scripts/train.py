@@ -26,7 +26,7 @@ import numpy as np
 
 from uncertainty_nerf_gs_tpu.configs.methods import METHODS, get_method
 from uncertainty_nerf_gs_tpu.data.dataparsers import DATAPARSERS
-from uncertainty_nerf_gs_tpu.data.datasets import load_images
+from uncertainty_nerf_gs_tpu.data.datasets import load_images, load_masks
 from uncertainty_nerf_gs_tpu.engine.checkpointing import save_checkpoint
 
 
@@ -59,24 +59,15 @@ def build_trainer(method_name: str, data: Path, dataparser: str,
 
         cfg = dataclasses.replace(cfg, num_images=len(outputs.cameras))
         trainer = NerfactoTrainer(
-            config=cfg, cameras=outputs.cameras, images=images, seed=seed
+            config=cfg, cameras=outputs.cameras, images=images, seed=seed,
+            use_camera_optimizer=spec.use_camera_optimizer,
+            masks=load_masks(outputs),
         )
     return trainer, spec, outputs
 
 
 def _trainer_state(trainer) -> dict:
-    if hasattr(trainer, "state"):  # nerfacto family
-        return {
-            "params": trainer.state.params,
-            "opt_state": trainer.state.opt_state,
-            "step": np.asarray(trainer.state.step),
-        }
-    return {  # splat family
-        "params": trainer.params,
-        "opt_state": trainer.opt_state,
-        "splat_alive": np.asarray(trainer.splat_state.alive),
-        "step": np.asarray(trainer.step),
-    }
+    return trainer.state_dict()
 
 
 def main(argv: list[str] | None = None) -> Path:
@@ -91,6 +82,9 @@ def main(argv: list[str] | None = None) -> Path:
                     help="render train image 0 every N steps and log PSNR "
                          "(reference trainer's in-training eval hooks)")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--load-dir", default=None,
+                    help="resume from the latest step-*.ckpt in this dir "
+                         "(restores params + optimizer state + step)")
     ap.add_argument("--log-every", type=int, default=500)
     ap.add_argument("--parser-kwargs", type=json.loads, default={},
                     help='JSON dict forwarded to the dataparser')
@@ -124,6 +118,19 @@ def main(argv: list[str] | None = None) -> Path:
     save_every = args.steps_per_save or spec.steps_per_save
     t0 = time.perf_counter()
     done = 0
+    if args.load_dir:
+        from uncertainty_nerf_gs_tpu.engine.checkpointing import (
+            latest_checkpoint,
+            load_checkpoint,
+        )
+
+        ckpt_path = latest_checkpoint(Path(args.load_dir))
+        if ckpt_path is None:
+            raise FileNotFoundError(f"no step-*.ckpt under {args.load_dir}")
+        ckpt = load_checkpoint(ckpt_path, target=_trainer_state(trainer))
+        trainer.restore(ckpt)
+        done = int(np.asarray(ckpt["step"]))
+        print(f"resumed from {ckpt_path} at step {done}")
     while done < total:
         n = min(save_every, total - done)
         if spec.family == "splatfacto":
