@@ -218,3 +218,26 @@ def test_fused_render_bf16_tables_close_to_f32(rng):
     o32 = render(stacked, p32, rb)
     o16 = render(stacked, p16, rb)
     assert float(jnp.abs(o32["rgb"] - o16["rgb"]).max()) < 0.02
+
+
+def test_fused_render_ray_sharded_matches_single_device(rng):
+    """VERDICT r1 item 7: the fused ensemble render sharded over the ray
+    axis of the 8-device CPU mesh must equal the single-device render
+    (packed tables replicate; rays shard over "data")."""
+    from uncertainty_nerf_gs_tpu.parallel.mesh import make_mesh
+
+    cfg = _tiny_config(uncertainty_channels=1)
+    model = NerfactoModel(cfg)
+    stacked = init_ensemble_params(model, 3)
+    packed = pack_ensemble_tables(model, stacked)
+    rb = _bundle(rng, n=len(jax.devices()) * 16)
+
+    single = build_fused_ensemble_render(model)(stacked, packed, rb)
+    mesh = make_mesh(num_data=len(jax.devices()), num_member=1)
+    sharded_fn = build_fused_ensemble_render(model, mesh=mesh)
+    sharded = sharded_fn(stacked, packed, rb)
+
+    for k in ("rgb", "depth", "rgb_std", "rgb_var_epi"):
+        np.testing.assert_allclose(
+            np.asarray(sharded[k]), np.asarray(single[k]), rtol=1e-4, atol=1e-5,
+        )

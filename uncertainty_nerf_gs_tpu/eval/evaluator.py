@@ -310,6 +310,10 @@ class EvalOptions:
     output_path: Path = Path("metrics.json")
     render_output_path: Path | None = None
     save_rendered_images: bool = False
+    # dump per-image raw arrays (rgb/rgb_std/gt/depth/depth_std) as
+    # raw_{i:03d}.npz into render_output_path — used by the reference-math
+    # parity cross-check (experiments/metric_parity.py)
+    save_raw_outputs: bool = False
     eval_depth_unc: bool = False
     eval_rgb_unc: bool = True
     plot_ause: bool = False
@@ -385,6 +389,15 @@ def get_average_uncertainty_metrics(
         # never mistaken for the published metric scale (VERDICT r1 item 4)
         lpips_key = "lpips" if lpips_params is not None else "lpips_rand"
         m[lpips_key] = float(lpips(rgb, gt_rgb, lpips_params))
+
+        if options.save_raw_outputs and options.render_output_path:
+            raw_dir = Path(options.render_output_path)
+            raw_dir.mkdir(parents=True, exist_ok=True)
+            arrays = {"rgb": np.asarray(rgb), "gt": np.asarray(gt_rgb)}
+            for k in ("rgb_std", "depth", "depth_std"):
+                if k in outputs:
+                    arrays[k] = np.asarray(outputs[k])
+            np.savez(raw_dir / f"raw_{i:03d}.npz", **arrays)
 
         if options.eval_rgb_unc and "rgb_std" in outputs:
             r = rgb_uncertainty_metrics(

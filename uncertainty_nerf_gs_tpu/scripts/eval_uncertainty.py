@@ -291,6 +291,9 @@ def main(argv: list[str] | None = None) -> dict:
     ap.add_argument("--output-path", default="metrics.json")
     ap.add_argument("--render-output-path", default=None)
     ap.add_argument("--save-rendered-images", action="store_true")
+    ap.add_argument("--save-raw-outputs", action="store_true",
+                    help="dump per-image raw arrays (raw_XXX.npz) for "
+                         "metric parity cross-checks")
     ap.add_argument("--eval-depth-unc", action="store_true")
     ap.add_argument("--plot-ause", action="store_true")
     ap.add_argument("--mc-samples", type=int, default=10)
@@ -334,6 +337,7 @@ def main(argv: list[str] | None = None) -> dict:
             Path(args.render_output_path) if args.render_output_path else None
         ),
         save_rendered_images=args.save_rendered_images,
+        save_raw_outputs=args.save_raw_outputs,
         eval_depth_unc=args.eval_depth_unc,
         plot_ause=args.plot_ause,
         dataset_path=Path(args.dataset_path) if args.dataset_path else None,
