@@ -32,9 +32,10 @@ import numpy as np
 
 REFERENCE_ENSEMBLE_RAYS_PER_SEC = 6.0e4  # see module docstring
 NUM_MEMBERS = 5
-CHUNK = 1 << 13  # 8192 rays/launch amortizes fixed per-launch costs;
+CHUNK = 1 << 14  # 16384 rays/launch amortizes fixed per-launch costs;
 # reference eval chunks 1<<15 rays (laplace_config.py:35).
-WARMUP = 2
+WARMUP = 6  # the axon tunnel's first ~3-4 launches in a process absorb
+# lazy setup (~100 ms total) that 2 warmups don't flush — measured r2
 ITERS = 5
 
 

@@ -113,8 +113,9 @@ def main():
         density = cfg.average_init_density * fo.density
         weights = raymarch.render_weights(density, rs.deltas)
         rgb = raymarch.render_rgb(weights, fo.rgb, jnp.ones(3))
-        depth = raymarch.render_median_depth(weights, rs.midpoints)
-        dv = raymarch.depth_variance(weights, rs.midpoints, depth)
+        steps_b = jnp.broadcast_to(rs.midpoints, weights.shape)
+        depth = raymarch.render_median_depth(weights, steps_b)
+        dv = raymarch.depth_variance(weights, steps_b, depth)
         rv = raymarch.render_uncertainty(jnp.nan_to_num(fo.uncertainty), weights**2)
         return rgb.sum() + depth.sum() + dv.sum() + rv.sum()
 
@@ -127,10 +128,84 @@ def main():
         "+ member MLPs",
         "full (tails incl.)",
     ]
+    import os
+    wanted = [int(x) for x in os.environ.get("STAGES", "3,4,6").split(",")]
     for stage, label in enumerate(labels):
+        if stage not in wanted:
+            continue
         fn = jax.jit(lambda i, s, p, st=stage: pipeline(i, s, p, st))
         bench(fn, f"stage {stage}: {label}", stacked, packed)
 
 
+
+
+def pdf_ablation():
+    """Full fused render with sample_pdf stubbed to uniform re-edges -> the
+    exact in-context cost of the CDF inversions."""
+    import uncertainty_nerf_gs_tpu.ops.sampling as sampling
+    from uncertainty_nerf_gs_tpu.parallel.ensemble_fused import (
+        build_fused_ensemble_render,
+    )
+
+    config = NerfactoConfig(
+        num_images=8, uncertainty_channels=1, near_plane=0.5, far_plane=6.0,
+        background_color="white", use_appearance_embedding=False,
+        proposal_field_type="hash",
+    )
+    model = NerfactoModel(config)
+    stacked = init_ensemble_params(model, M)
+    packed = pack_ensemble_tables(model, stacked, table_dtype=jnp.bfloat16)
+
+    rng = np.random.default_rng(0)
+    d = rng.normal(size=(CHUNK, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rb0 = RayBundle(
+        origins=jnp.asarray(rng.uniform(-0.1, 0.1, (CHUNK, 3)), jnp.float32),
+        directions=jnp.asarray(d, jnp.float32),
+        nears=jnp.full((CHUNK,), config.near_plane),
+        fars=jnp.full((CHUNK,), config.far_plane),
+        camera_indices=jnp.zeros((CHUNK,), jnp.int32),
+    )
+
+    real_pdf = sampling.sample_pdf
+    render_real = build_fused_ensemble_render(model)
+
+    def run_real(i):
+        b = rb0._replace(origins=rb0.origins + 1e-6 * i)
+        return render_real(stacked, packed, b)["rgb"]
+
+    bench(run_real, "full render (real sample_pdf)")
+
+    def stub_pdf(ray_bundle, s_edges, weights, num_samples, key=None, **kw):
+        # depends on weights so nothing upstream is DCE'd
+        r, nb = weights.shape
+        base = jnp.linspace(0.0, 1.0, num_samples + 1)
+        tweak = (weights.sum(-1, keepdims=True) * 1e-12)
+        edges = jnp.clip(base[None, :] + tweak, 0.0, 1.0)
+        edges = jnp.broadcast_to(edges, (r, num_samples + 1))
+        return sampling._edges_to_samples(
+            ray_bundle, edges, sampling.spacing_piecewise,
+            sampling.spacing_piecewise_inv)
+
+    sampling.sample_pdf = stub_pdf
+    try:
+        import importlib
+        import uncertainty_nerf_gs_tpu.parallel.ensemble_fused as ef
+        importlib.reload(ef)
+        render_stub = ef.build_fused_ensemble_render(model)
+
+        def run_stub(i):
+            b = rb0._replace(origins=rb0.origins + 1e-6 * i)
+            return render_stub(stacked, packed, b)["rgb"]
+
+        bench(run_stub, "full render (stubbed sample_pdf)")
+    finally:
+        sampling.sample_pdf = real_pdf
+
+
 if __name__ == "__main__":
-    main()
+    import os as _os
+    if _os.environ.get("PDF_ABLATION"):
+        pdf_ablation()
+    else:
+        main()

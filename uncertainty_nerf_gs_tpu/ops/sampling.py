@@ -154,21 +154,30 @@ def sample_pdf(
         u = jnp.broadcast_to(u, (num_rays, n_new))
     u = jnp.clip(u, 0.0, 1.0 - 1e-6)
 
-    # CDF inversion as a fused compare-reduce instead of a vmapped
-    # searchsorted (the searchsorted lowering was ~45% of the whole fused
-    # ensemble render on a v5e): idx_j = #(cdf <= u_j) - 1. Reduce over the
-    # MIDDLE axis (bins in sublanes, queries in lanes) — measured 3.2x
-    # faster than reducing over a lane-major bin axis on a v5e.
-    idx = jnp.sum(
-        (cdf[:, :, None] <= u[:, None, :]).astype(jnp.int32), axis=1
-    ) - 1
-    idx = jnp.clip(idx, 0, num_bins - 1)
-    c0 = jnp.take_along_axis(cdf, idx, axis=-1)
-    c1 = jnp.take_along_axis(cdf, idx + 1, axis=-1)
-    e0 = jnp.take_along_axis(s_edges, idx, axis=-1)
-    e1 = jnp.take_along_axis(s_edges, idx + 1, axis=-1)
-    frac = jnp.where(c1 > c0, (u - c0) / jnp.maximum(c1 - c0, 1e-12), 0.0)
-    new_edges = e0 + frac * (e1 - e0)
+    # CDF inversion. On TPU a Pallas kernel streams the sorted bins once
+    # with register-resident bracketing state (ops/pdf_pallas.py) — XLA's
+    # lowering of the same math costs ~25% of a whole fused ensemble
+    # render. Elsewhere (CPU tests), a fused compare-reduce replaces the
+    # vmapped searchsorted (which was itself ~45% of the render); reducing
+    # over the MIDDLE axis (bins in sublanes) measures 3.2x faster than a
+    # lane-major bin axis. Gradients never flow through the sampler in the
+    # nerfacto training path (weights are stop-gradient'ed), and the Pallas
+    # path stops them explicitly.
+    if jax.default_backend() != "cpu":
+        from uncertainty_nerf_gs_tpu.ops.pdf_pallas import invert_cdf_tpu
+
+        new_edges = invert_cdf_tpu(cdf, s_edges, u)
+    else:
+        idx = jnp.sum(
+            (cdf[:, :, None] <= u[:, None, :]).astype(jnp.int32), axis=1
+        ) - 1
+        idx = jnp.clip(idx, 0, num_bins - 1)
+        c0 = jnp.take_along_axis(cdf, idx, axis=-1)
+        c1 = jnp.take_along_axis(cdf, idx + 1, axis=-1)
+        e0 = jnp.take_along_axis(s_edges, idx, axis=-1)
+        e1 = jnp.take_along_axis(s_edges, idx + 1, axis=-1)
+        frac = jnp.where(c1 > c0, (u - c0) / jnp.maximum(c1 - c0, 1e-12), 0.0)
+        new_edges = e0 + frac * (e1 - e0)
     # u ascending + cdf monotone => new_edges already non-decreasing; the
     # defensive sort the searchsorted path carried is unnecessary.
     return _edges_to_samples(ray_bundle, new_edges, spacing_fn, spacing_fn_inv)
