@@ -32,8 +32,7 @@ import numpy as np
 
 REFERENCE_ENSEMBLE_RAYS_PER_SEC = 6.0e4  # see module docstring
 NUM_MEMBERS = 5
-CHUNK = 1 << 14  # 16384 rays/launch amortizes fixed per-launch costs;
-# reference eval chunks 1<<15 rays (laplace_config.py:35).
+CHUNK = 1 << 15  # the reference evals in 1<<15-ray chunks (laplace_config.py:35)
 WARMUP = 6  # the axon tunnel's first ~3-4 launches in a process absorb
 # lazy setup (~100 ms total) that 2 warmups don't flush — measured r2
 ITERS = 5

@@ -58,7 +58,7 @@ def main() -> None:
                 "nerfacto", "--data", str(scene), "--dataparser", "blender-data",
                 "--output-dir", str(d), "--max-num-iterations", str(args.iters),
                 "--steps-per-save", str(args.iters), "--seed", "0",
-                "--log-every", "500", "--overrides", json.dumps(ov),
+                "--log-every", "500", "--camera-opt", "off", "--overrides", json.dumps(ov),
             ])
         out = eval_main([
             "--load-config", str(d),

@@ -105,7 +105,7 @@ def main() -> None:
                 method, "--data", str(scene), "--dataparser", "blender-data",
                 "--output-dir", str(d), "--max-num-iterations", str(args.iters),
                 "--steps-per-save", str(args.iters), "--seed", str(seed),
-                "--log-every", "500", "--overrides", json.dumps(OVERRIDES),
+                "--log-every", "500", "--camera-opt", "off", "--overrides", json.dumps(OVERRIDES),
             ])
         return d
 

@@ -306,3 +306,39 @@ def test_focus_center_method():
     np.testing.assert_allclose(
         transform[:, :3] @ focus + transform[:, 3], 0.0, atol=1e-5
     )
+
+
+def test_fisheye_rays_equidistant_analytic():
+    """Equidistant fisheye: a pixel at radius r from the principal point
+    maps to angle theta = r/f off the optical axis (VERDICT r1 item 10)."""
+    import jax.numpy as jnp
+
+    from uncertainty_nerf_gs_tpu.cameras.cameras import (
+        FISHEYE,
+        Cameras,
+        generate_rays,
+    )
+
+    f = 100.0
+    cams = Cameras(
+        camera_to_worlds=jnp.eye(4)[None, :3],  # identity pose, -z forward
+        fx=jnp.array([f]), fy=jnp.array([f]),
+        cx=jnp.array([50.0]), cy=jnp.array([50.0]),
+        width=100, height=100,
+        camera_type=FISHEYE,
+    )
+    # principal point -> exactly the optical axis (-z)
+    rb = generate_rays(cams, jnp.zeros((1,), jnp.int32),
+                       jnp.array([49.5]), jnp.array([49.5]))
+    np.testing.assert_allclose(
+        np.asarray(rb.directions[0]), [0.0, 0.0, -1.0], atol=1e-6
+    )
+    # pixel at +30 px along x: theta = 30/f = 0.3 rad off axis, in the x/-z
+    # plane with positive x
+    rb = generate_rays(cams, jnp.zeros((1,), jnp.int32),
+                       jnp.array([49.5 + 30.0]), jnp.array([49.5]))
+    d = np.asarray(rb.directions[0])
+    theta = np.arccos(np.clip(-d[2], -1, 1))
+    np.testing.assert_allclose(theta, 30.0 / f, atol=1e-6)
+    assert d[0] > 0 and abs(d[1]) < 1e-7
+    np.testing.assert_allclose(np.linalg.norm(d), 1.0, atol=1e-6)

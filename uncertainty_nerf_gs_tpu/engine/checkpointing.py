@@ -64,7 +64,24 @@ def load_checkpoint(path: Path, target: Any | None = None) -> Any:
                 Path(path).absolute(),
                 jax.tree.map(ocp.utils.to_shape_dtype_struct, target),
             )
-        return ckptr.restore(Path(path).absolute())
+        try:
+            return ckptr.restore(Path(path).absolute())
+        except ValueError:
+            # targetless restore replays the SAVED shardings, which fails
+            # when the checkpoint was written on another platform (e.g.
+            # TPU-trained, CPU-inspected); rebuild a target from metadata
+            # so arrays land on the current default device
+            meta = ckptr.metadata(Path(path).absolute())
+            meta = getattr(meta, "item_metadata", meta)
+            sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+            target = jax.tree.map(
+                lambda m: jax.ShapeDtypeStruct(
+                    tuple(m.shape), m.dtype, sharding=sharding
+                ),
+                meta,
+                is_leaf=lambda m: hasattr(m, "shape") and hasattr(m, "dtype"),
+            )
+            return ckptr.restore(Path(path).absolute(), target)
 
 
 def load_latest(load_dir: Path, target: Any | None = None) -> tuple[Any, int] | None:

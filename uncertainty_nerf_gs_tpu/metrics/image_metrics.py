@@ -76,8 +76,11 @@ def ssim(
     mu_tt = mu_t * mu_t
     mu_pt = mu_p * mu_t
 
-    sigma_pp = _filter2d_separable(pred * pred, window) - mu_pp
-    sigma_tt = _filter2d_separable(target * target, window) - mu_tt
+    # clamp variances at 0: E[x^2]-mu^2 can go slightly negative in f32 on
+    # near-constant windows, flipping the denominator sign and producing
+    # SSIM values far outside [-1, 1]
+    sigma_pp = jnp.maximum(_filter2d_separable(pred * pred, window) - mu_pp, 0.0)
+    sigma_tt = jnp.maximum(_filter2d_separable(target * target, window) - mu_tt, 0.0)
     sigma_pt = _filter2d_separable(pred * target, window) - mu_pt
 
     ssim_map = ((2.0 * mu_pt + c1) * (2.0 * sigma_pt + c2)) / (

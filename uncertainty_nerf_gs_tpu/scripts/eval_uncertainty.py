@@ -55,6 +55,7 @@ def _load_run(run_dir: Path):
         run_cfg["method"], run_cfg["data"], run_cfg["dataparser"],
         run_cfg.get("seed", 0), run_cfg.get("parser_kwargs"),
         run_cfg.get("overrides"),
+        camera_opt=run_cfg.get("camera_opt", "default"),
     )
     got = load_latest(run_dir)
     if got is None:

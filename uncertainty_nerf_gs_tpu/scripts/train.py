@@ -32,9 +32,20 @@ from uncertainty_nerf_gs_tpu.engine.checkpointing import save_checkpoint
 
 def build_trainer(method_name: str, data: Path, dataparser: str,
                   seed: int = 0, parser_kwargs: dict | None = None,
-                  config_overrides: dict | None = None):
-    """Resolve method + dataparser and construct the right trainer."""
+                  config_overrides: dict | None = None,
+                  camera_opt: str = "default"):
+    """Resolve method + dataparser and construct the right trainer.
+
+    camera_opt: "default" follows the method spec (reference parity:
+    SO3xR3 ON for nerfacto-family); "off"/"on" force it — e.g. synthetic
+    scenes with exact poses, where free pose tangents can gauge-drift the
+    reconstruction away from the untouched eval cameras.
+    """
     spec = get_method(method_name)
+    if camera_opt != "default":
+        spec = dataclasses.replace(
+            spec, use_camera_optimizer=(camera_opt == "on")
+        )
     parse = DATAPARSERS[dataparser]
     outputs = parse(Path(data), "train", **(parser_kwargs or {}))
     images = load_images(outputs)
@@ -85,6 +96,9 @@ def main(argv: list[str] | None = None) -> Path:
     ap.add_argument("--load-dir", default=None,
                     help="resume from the latest step-*.ckpt in this dir "
                          "(restores params + optimizer state + step)")
+    ap.add_argument("--camera-opt", default="default",
+                    choices=["default", "on", "off"],
+                    help="override the method's camera-optimizer setting")
     ap.add_argument("--log-every", type=int, default=500)
     ap.add_argument("--parser-kwargs", type=json.loads, default={},
                     help='JSON dict forwarded to the dataparser')
@@ -94,7 +108,7 @@ def main(argv: list[str] | None = None) -> Path:
 
     trainer, spec, _ = build_trainer(
         args.method, args.data, args.dataparser, args.seed,
-        args.parser_kwargs, args.overrides,
+        args.parser_kwargs, args.overrides, camera_opt=args.camera_opt,
     )
     out_dir = Path(args.output_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -107,6 +121,7 @@ def main(argv: list[str] | None = None) -> Path:
                 "parser_kwargs": args.parser_kwargs,
                 "overrides": args.overrides,
                 "seed": args.seed,
+                "camera_opt": args.camera_opt,
             },
             f, indent=2,
         )
