@@ -93,7 +93,7 @@ def main() -> None:
     work = Path(args.workdir)
     scene = work / "scene"
     if not scene.exists():
-        write_blender_dataset(scene, num_train=12, num_test=3, height=64, width=64)
+        write_blender_dataset(scene, num_train=40, num_test=3, height=64, width=64)
 
     rows = []
     results: dict[str, dict] = {}

@@ -43,3 +43,11 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+# NaN-sanitizer CI mode (SURVEY §5.2): UT_DEBUG_NANS=1 makes every jitted
+# computation in the suite fail loudly at the op that produced a NaN
+# (jax.debug_nans re-runs the offending computation un-jitted); slower, so
+# opt-in:  UT_DEBUG_NANS=1 python -m pytest tests/ -q
+if os.environ.get("UT_DEBUG_NANS"):
+    jax.config.update("jax_debug_nans", True)

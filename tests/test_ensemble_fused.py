@@ -241,3 +241,66 @@ def test_fused_render_ray_sharded_matches_single_device(rng):
         np.testing.assert_allclose(
             np.asarray(sharded[k]), np.asarray(single[k]), rtol=1e-4, atol=1e-5,
         )
+
+
+def test_strided_lookup_close_to_exact(rng):
+    """Anchor-strided coarse-level lookup approximates the exact per-sample
+    lookup closely (exact within a cell; smoothing across boundaries)."""
+    from uncertainty_nerf_gs_tpu.ops.encodings import (
+        packed_cell_lookup_strided,
+    )
+
+    feats, table_size, m = 2, 512, 2
+    res = [4]  # coarse level: stride engages (k = S // (2*4))
+    cpr = 128 // (8 * feats)
+    n_rows = (table_size + cpr - 1) // cpr
+    # LINEAR feature field: cell corners store w . corner_coords — then the
+    # exact trilerp reproduces the linear function everywhere and lerping
+    # along the ray is exact too, so strided must equal exact to f32 eps.
+    # (Learned coarse levels are smooth; random tables would overstate the
+    # cross-cell error.)
+    r4 = 4
+    w_lin = np.array([[0.7, -0.3], [0.2, 0.9], [-0.5, 0.4]], np.float32)
+    rows_np = np.zeros((m, 1, n_rows, 128), np.float32)
+    for cz in range(r4):
+        for cy in range(r4):
+            for cx in range(r4):
+                cell = cx + r4 * (cy + r4 * cz)
+                for corner in range(8):
+                    a, b, c = (corner >> 2) & 1, (corner >> 1) & 1, corner & 1
+                    coords = np.array(
+                        [(cx + a) / r4, (cy + b) / r4, (cz + c) / r4]
+                    )
+                    val = coords @ w_lin  # (feats,)
+                    lane0 = (cell % cpr) * 8 * feats + corner * feats
+                    rows_np[:, 0, cell // cpr, lane0 : lane0 + feats] = val
+    stacked = jnp.asarray(rows_np)
+    packed = pack_member_cell_tables(stacked, table_size, feats)
+
+    # straight rays: positions move smoothly through [0,1]^3
+    R, S = 8, 64
+    t = jnp.linspace(0.05, 0.95, S)[None, :].repeat(R, 0)  # (R, S)
+    origins = jnp.asarray(rng.uniform(0.1, 0.3, (R, 3)).astype(np.float32))
+    dirs = jnp.asarray(rng.uniform(0.3, 0.7, (R, 3)).astype(np.float32))
+    pos = origins[:, None] + dirs[:, None] * t[..., None] * 0.7  # in [0,1]
+
+    exact = packed_cell_lookup(
+        packed, pos.reshape(-1, 3), res, table_size, m, feats
+    ).reshape(m, R, S, feats)
+    strided = packed_cell_lookup_strided(
+        packed, pos, t, res, table_size, m, feats
+    )
+    np.testing.assert_allclose(
+        np.asarray(strided), np.asarray(exact), rtol=1e-4, atol=1e-5
+    )
+    # fine level (k == 1) must be bit-exact
+    res_fine = [64]
+    exact_f = packed_cell_lookup(
+        packed, pos.reshape(-1, 3), res_fine, table_size, m, feats
+    ).reshape(m, R, S, feats)
+    strided_f = packed_cell_lookup_strided(
+        packed, pos, t, res_fine, table_size, m, feats
+    )
+    np.testing.assert_allclose(
+        np.asarray(strided_f), np.asarray(exact_f), rtol=1e-6, atol=1e-7
+    )

@@ -40,7 +40,9 @@ from uncertainty_nerf_gs_tpu.ops.spatial import scene_contraction, contract_to_u
 
 def test_trunc_exp_forward_and_clipped_grad():
     x = jnp.array([-20.0, 0.0, 3.0, 20.0])
-    np.testing.assert_allclose(np.asarray(trunc_exp(x)), np.exp(np.asarray(x)), rtol=1e-5)
+    # value clamped above x=15 (overflow guard), exact below
+    expected = np.exp(np.minimum(np.asarray(x), 15.0))
+    np.testing.assert_allclose(np.asarray(trunc_exp(x)), expected, rtol=1e-5)
     g = jax.grad(lambda v: trunc_exp(v).sum())(x)
     # gradient input clamped to [-15, 15]
     np.testing.assert_allclose(float(g[-1]), np.exp(15.0), rtol=1e-5)
@@ -303,3 +305,18 @@ def test_pdf_sampler_concentrates_mass():
     assert frac_inside > 0.7
     # edges sorted
     assert (np.diff(np.asarray(rs2.spacing_edges), axis=-1) >= 0).all()
+
+
+def test_trunc_exp_finite_at_extreme_inputs():
+    """Value clamp: exp overflow (x ~ 88+) must not produce inf density —
+    inf * zero-width PDF bin = NaN weights (observed late-training NaN
+    collapse)."""
+    import jax
+
+    from uncertainty_nerf_gs_tpu.ops.activations import trunc_exp
+
+    x = jnp.asarray([-100.0, 0.0, 20.0, 100.0, 1000.0])
+    y = np.asarray(trunc_exp(x))
+    assert np.isfinite(y).all()
+    g = jax.grad(lambda v: trunc_exp(v).sum())(x)
+    assert np.isfinite(np.asarray(g)).all()

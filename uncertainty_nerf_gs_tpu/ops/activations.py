@@ -12,17 +12,23 @@ import jax
 import jax.numpy as jnp
 
 
+_TRUNC_MAX = 15.0  # exp(15) ~ 3.3e6: far beyond any physical density, but
+# finite — an unclamped exp overflows f32 around x~88, and an inf density
+# meeting a zero-width PDF bin (delta == 0) produces inf*0 = NaN weights
+# (observed as a late-training collapse at lr-schedule tail)
+
+
 @jax.custom_vjp
 def trunc_exp(x: jax.Array) -> jax.Array:
-    return jnp.exp(x)
+    return jnp.exp(jnp.minimum(x, _TRUNC_MAX))
 
 
 def _trunc_exp_fwd(x):
-    return jnp.exp(x), x
+    return jnp.exp(jnp.minimum(x, _TRUNC_MAX)), x
 
 
 def _trunc_exp_bwd(x, g):
-    return (g * jnp.exp(jnp.clip(x, -15.0, 15.0)),)
+    return (g * jnp.exp(jnp.clip(x, -_TRUNC_MAX, _TRUNC_MAX)),)
 
 
 trunc_exp.defvjp(_trunc_exp_fwd, _trunc_exp_bwd)

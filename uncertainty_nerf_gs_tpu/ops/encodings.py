@@ -389,6 +389,73 @@ def packed_cell_lookup(
     return jnp.einsum("nk,mko->mno", all_lvls, perms)
 
 
+def packed_cell_lookup_strided(
+    packed: jax.Array,
+    norm_positions: jax.Array,
+    t_mid: jax.Array,
+    resolutions: Sequence[int],
+    table_size: int,
+    num_members: int,
+    features_per_level: int = 2,
+    max_stride: int = 8,
+) -> jax.Array:
+    """Ensemble lookup with per-level anchor striding along the ray.
+
+    At a level of resolution R_l, consecutive ray samples usually land in
+    the same grid cell (a ray crosses <= ~R_l*sqrt(3) cells), so most of
+    the per-sample gathers fetch duplicate rows. This evaluates level l
+    only at every K_l-th sample (K_l = clamp(S // (2 R_l), 1, max_stride))
+    and linearly interpolates features along the ray between anchors —
+    exact when both anchors share the sample's cell (trilerp is linear in
+    position), a mild smoothing otherwise. Bracketing anchor indices are
+    STATIC (sample s brackets to anchors s//K and s//K+1), so no dynamic
+    gathers are introduced.
+
+    norm_positions: (R, S, 3) normalized positions; t_mid: (R, S) ray
+    parameters (any monotone-in-s parameterization). Returns (M, R, S, L*F).
+    """
+    feats = features_per_level
+    m = num_members
+    r, s, _ = norm_positions.shape
+    outs = []
+    for lvl, res in enumerate(np.asarray(resolutions)):
+        k = int(np.clip(s // (2 * int(res)), 1, max_stride))
+        if k == 1:
+            f = packed_cell_lookup(
+                packed[lvl : lvl + 1],
+                norm_positions.reshape(-1, 3),
+                [int(res)],
+                table_size,
+                m,
+                feats,
+            ).reshape(m, r, s, feats)
+            outs.append(f)
+            continue
+        pad = (-(s - 1)) % k  # anchors at 0, k, ..., covering s-1
+        na = (s - 1 + pad) // k + 1
+        idx = np.minimum(np.arange(na) * k, s - 1)  # static anchor samples
+        pos_a = norm_positions[:, idx]  # (R, A, 3)
+        t_a = t_mid[:, idx]  # (R, A)
+        f_a = packed_cell_lookup(
+            packed[lvl : lvl + 1],
+            pos_a.reshape(-1, 3),
+            [int(res)],
+            table_size,
+            m,
+            feats,
+        ).reshape(m, r, na, feats)
+        # expand anchors to samples: sample s' in block b = s'//k brackets
+        # anchors b, b+1 (static); lerp weight from t
+        left = jnp.repeat(f_a[:, :, :-1], k, axis=2)[:, :, :s]
+        right = jnp.repeat(f_a[:, :, 1:], k, axis=2)[:, :, :s]
+        t_left = jnp.repeat(t_a[:, :-1], k, axis=1)[:, :s]
+        t_right = jnp.repeat(t_a[:, 1:], k, axis=1)[:, :s]
+        w = (t_mid - t_left) / jnp.maximum(t_right - t_left, 1e-12)
+        w = jnp.clip(w, 0.0, 1.0)[None, :, :, None]
+        outs.append(left * (1.0 - w) + right * w)
+    return jnp.concatenate(outs, axis=-1)
+
+
 class CellHashEncoding(nn.Module):
     """Cell-major multi-resolution hash grid (one gather per sample-level).
 
