@@ -304,3 +304,33 @@ def test_strided_lookup_close_to_exact(rng):
     np.testing.assert_allclose(
         np.asarray(strided_f), np.asarray(exact_f), rtol=1e-6, atol=1e-7
     )
+
+
+def test_fused_render_with_engaged_stride_is_close_to_exact(rng):
+    """Full fused render with coarse proposals where the anchor stride
+    actually engages (k > 1): strided and exact renders must agree closely
+    (deviation is proposal-placement only; the main field is exact)."""
+    cfg = _tiny_config(
+        uncertainty_channels=1,
+        num_proposal_samples=(64, 24),
+        num_nerf_samples=8,
+        proposal_net_args=(
+            dict(num_levels=2, max_res=8, log2_hashmap_size=9, hidden_dim=16),
+            dict(num_levels=2, max_res=16, log2_hashmap_size=9, hidden_dim=16),
+        ),
+    )
+    model = NerfactoModel(cfg)
+    rb = _bundle(rng, n=16)
+    stacked = init_ensemble_params(model, 2)
+    packed = pack_ensemble_tables(model, stacked)
+    exact = build_fused_ensemble_render(
+        model, proposal_anchor_stride=False
+    )(stacked, packed, rb)
+    strided = build_fused_ensemble_render(
+        model, proposal_anchor_stride=True
+    )(stacked, packed, rb)
+    # stride engages: S=64 at res 8 -> k = 64 // 16 = 4
+    diff = float(jnp.abs(exact["rgb"] - strided["rgb"]).mean())
+    assert diff < 0.02, diff
+    for k in ("rgb", "depth", "rgb_std"):
+        assert np.isfinite(np.asarray(strided[k])).all(), k
