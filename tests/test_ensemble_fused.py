@@ -306,6 +306,44 @@ def test_strided_lookup_close_to_exact(rng):
     )
 
 
+def test_strided_lookup_anchor_divisible_boundary(rng):
+    """Regression (ADVICE r2): (S-1) % K == 0 used to leave the repeated
+    anchor arrays one sample short (broadcast crash). S=65, res=4 ->
+    k = clamp(65//8, 1, 8) = 8 and 64 % 8 == 0 engages the case."""
+    from uncertainty_nerf_gs_tpu.ops.encodings import (
+        packed_cell_lookup_strided,
+    )
+
+    feats, table_size, m = 2, 512, 2
+    cpr = 128 // (8 * feats)
+    n_rows = (table_size + cpr - 1) // cpr
+    stacked = jnp.asarray(
+        rng.normal(size=(m, 1, n_rows, 128)).astype(np.float32)
+    )
+    packed = pack_member_cell_tables(stacked, table_size, feats)
+    for S in (65, 121):  # 121/res-20 is the original ADVICE repro shape
+        res = [4] if S == 65 else [20]
+        R = 4
+        t = jnp.linspace(0.05, 0.95, S)[None, :].repeat(R, 0)
+        origins = jnp.asarray(rng.uniform(0.1, 0.3, (R, 3)).astype(np.float32))
+        dirs = jnp.asarray(rng.uniform(0.3, 0.7, (R, 3)).astype(np.float32))
+        pos = origins[:, None] + dirs[:, None] * t[..., None] * 0.7
+        out = packed_cell_lookup_strided(
+            packed, pos, t, res, table_size, m, feats
+        )
+        assert out.shape == (m, R, S, feats)
+        assert np.isfinite(np.asarray(out)).all()
+        # the final sample must equal the exact lookup (its anchor is
+        # clamped to s-1, so the lerp weight there is exactly 0)
+        exact_last = packed_cell_lookup(
+            packed, pos[:, -1].reshape(-1, 3), res, table_size, m, feats
+        ).reshape(m, R, feats)
+        np.testing.assert_allclose(
+            np.asarray(out[:, :, -1]), np.asarray(exact_last),
+            rtol=1e-5, atol=1e-6,
+        )
+
+
 def test_fused_render_with_engaged_stride_is_close_to_exact(rng):
     """Full fused render with coarse proposals where the anchor stride
     actually engages (k > 1): strided and exact renders must agree closely

@@ -108,7 +108,45 @@ def test_full_eval_loop_and_json(tmp_path, rng, fake_pred):
     # schema of eval_uncertainty.py:1162-1169
     assert set(payload) == {"experiment_name", "method_name", "checkpoint", "results"}
     assert payload["method_name"] == "active-nerfacto"
-    # artifacts on disk
-    assert (tmp_path / "renders" / "0_std.png").exists()
+    # artifacts on disk (reference file names, eval_uncertainty.py:209-301)
+    for name in (
+        "0_rgb_gt.png", "0_rgb_pred.png", "0_rgb_abs_err.png",
+        "0_rgb_std.png", "0_rgb_unc_rank.png", "0_rgb_err_rank.png",
+    ):
+        assert (tmp_path / "renders" / name).exists(), name
     assert (tmp_path / "renders" / "rgb_ause_rmse.png").exists()
     assert (tmp_path / "renders" / "rgb_coverage_values.npy").exists()
+
+
+def test_eval_loop_depth_artifacts(tmp_path, rng, fake_pred):
+    """--save-rendered-images --eval-depth-unc writes the reference's depth
+    figure set (`eval_uncertainty.py:464-548`) per image (VERDICT r2 #5)."""
+    gt, pred, std = fake_pred
+    h, w = gt.shape[:2]
+    ds = tmp_path / "dataset"
+    ds.mkdir()
+    depth_gt = rng.uniform(1.0, 3.0, (h, w)).astype(np.float32)
+    for i in range(2):
+        np.save(ds / f"depth_gt_{i:02d}.npy", depth_gt)
+    (ds / "scale_parameters.txt").write_text("1.0")
+
+    def render_fn(i):
+        return {
+            "rgb": jnp.asarray(pred),
+            "rgb_std": jnp.asarray(std),
+            "depth": 2.0 * jnp.ones((h, w)),
+            "depth_std": 0.3 * jnp.ones((h, w)),
+        }
+
+    opts = ev.EvalOptions(
+        output_path=tmp_path / "metrics.json",
+        render_output_path=tmp_path / "renders",
+        save_rendered_images=True,
+        eval_depth_unc=True,
+        dataset_path=ds,
+    )
+    out = ev.get_average_uncertainty_metrics(render_fn, [gt, gt], opts)
+    assert np.isfinite(out["results"]["nll_depth"])
+    for i in range(2):
+        for name in ("depth_gt", "depth_pred", "depth_std", "depth_abs_err"):
+            assert (tmp_path / "renders" / f"{i}_{name}.png").exists(), name

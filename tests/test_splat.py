@@ -273,3 +273,42 @@ def test_rasterize_sharded_matches_single(rng):
     np.testing.assert_allclose(
         np.asarray(alpha_s), np.asarray(out.alpha), atol=2e-5
     )
+
+
+def test_splat_ensemble_single_launch_matches_loop(splat_setup):
+    """ensemble_render_splat (one vmapped launch, VERDICT r2 #7) equals the
+    sequential per-member loop + combine rule."""
+    from uncertainty_nerf_gs_tpu.models.ensemble import (
+        combine_ensemble_outputs,
+        ensemble_render_splat,
+        stack_params,
+    )
+
+    cfg, params, state = splat_setup
+    # two members: same capacity, different params and alive masks
+    p2 = jax.tree.map(lambda x: x + 0.01, params)
+    alive2 = jnp.roll(state.alive, 7)
+    c2w = jnp.array([[1.0, 0, 0, 0], [0, 1.0, 0, 0], [0, 0, 1.0, 2.0]])
+    args = (c2w, 40.0, 40.0, 32.0, 24.0, 64, 48)
+
+    outs = []
+    for p, a in ((params, state.alive), (p2, alive2)):
+        o = sf.render_splat(
+            p, a, *args[:5], args[5], args[6], cfg,
+            sh_deg=cfg.sh_degree, background=jnp.zeros(3),
+        )
+        outs.append(o)
+    keys = [k for k in outs[0] if k not in ("radii", "visible", "raster_overflow")]
+    expected = combine_ensemble_outputs(
+        {k: jnp.stack([o[k] for o in outs]) for k in keys}
+    )
+
+    got = ensemble_render_splat(
+        stack_params([params, p2]), jnp.stack([state.alive, alive2]),
+        *args, cfg, background=jnp.zeros(3),
+    )
+    assert set(got) == set(expected)
+    for k in expected:
+        np.testing.assert_allclose(
+            np.asarray(got[k]), np.asarray(expected[k]), rtol=1e-5, atol=1e-5,
+        )

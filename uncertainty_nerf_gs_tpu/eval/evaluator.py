@@ -215,6 +215,14 @@ def _jet(x: np.ndarray) -> np.ndarray:
     return cm.jet(np.clip(x, 0.0, 1.0))[..., :3]
 
 
+def _viridis(x: np.ndarray) -> np.ndarray:
+    """Matplotlib's default imshow colormap — what the reference's depth
+    figures render with (`eval_uncertainty.py:465-548` uses bare imshow)."""
+    import matplotlib.cm as cm
+
+    return cm.viridis(np.clip(x, 0.0, 1.0))[..., :3]
+
+
 def save_imgs_rgb(
     output_path: Path,
     img_num: int,
@@ -225,16 +233,68 @@ def save_imgs_rgb(
     unc_min: float = 0.0,
     unc_max: float = 1.0,
 ) -> None:
-    """GT / pred / abs-err / clipped+normalized jet std map
-    (`eval_uncertainty.py:209-301`)."""
+    """GT / pred / abs-err / clipped+normalized jet std map + BayesRays
+    rank maps (`eval_uncertainty.py:209-301`; reference file names).
+
+    The std map uses the reference's normalization
+    (`eval_uncertainty.py:264`): ``clip((std - min(unc_min, unc_max)) /
+    |unc_max - unc_min|, 0, 1)`` — a FIXED window set by the CLI flags,
+    not the per-image data range, so maps are comparable across images.
+    """
     output_path = Path(output_path)
     output_path.mkdir(parents=True, exist_ok=True)
-    _save_png(output_path / f"{img_num}_gt.png", rgb_gt)
-    _save_png(output_path / f"{img_num}_pred.png", rgb_pred)
-    _save_png(output_path / f"{img_num}_abs_err.png", abs_err)
-    std = np.clip(rgb_std, unc_min, unc_max)
-    denom = max(std.max() - std.min(), 1e-10)
-    _save_png(output_path / f"{img_num}_std.png", _jet((std - std.min()) / denom))
+    _save_png(output_path / f"{img_num}_rgb_gt.png", rgb_gt)
+    _save_png(output_path / f"{img_num}_rgb_pred.png", rgb_pred)
+    _save_png(output_path / f"{img_num}_rgb_abs_err.png", abs_err)
+    lo = min(unc_min, unc_max)
+    denom = max(abs(unc_max - unc_min), 1e-10)
+    std = np.clip((rgb_std - lo) / denom, 0.0, 1.0)
+    _save_png(output_path / f"{img_num}_rgb_std.png", _jet(std))
+    # rank maps (visualize_ranks, reference `:101-125`): uncertainty and
+    # error pixels replaced by their normalized ranks — scale-free
+    # comparison of "where is the model uncertain" vs "where is it wrong"
+    _save_png(
+        output_path / f"{img_num}_rgb_unc_rank.png", _jet(visualize_ranks(rgb_std))
+    )
+    _save_png(
+        output_path / f"{img_num}_rgb_err_rank.png", _jet(visualize_ranks(abs_err))
+    )
+
+
+def save_imgs_depth(
+    output_path: Path,
+    img_num: int,
+    depth_gt: np.ndarray,
+    depth_pred: np.ndarray,
+    depth_std: np.ndarray,
+    abs_err: np.ndarray,
+) -> None:
+    """Depth GT / pred / std / abs-err maps (`eval_uncertainty.py:464-548`,
+    the figures `get_unc_metrics_depth` writes per image): GT and pred share
+    the window [1e-3, gt.max]; std normalizes by its own max."""
+    output_path = Path(output_path)
+    output_path.mkdir(parents=True, exist_ok=True)
+    min_d, max_d = 1e-3, max(float(depth_gt.max()), 1e-3 + 1e-6)
+
+    def norm(x, lo, hi):
+        return np.clip((x - lo) / max(hi - lo, 1e-10), 0.0, 1.0)
+
+    _save_png(
+        output_path / f"{img_num}_depth_gt.png",
+        _viridis(norm(depth_gt, min_d, max_d)),
+    )
+    _save_png(
+        output_path / f"{img_num}_depth_pred.png",
+        _viridis(norm(depth_pred, min_d, max_d)),
+    )
+    _save_png(
+        output_path / f"{img_num}_depth_std.png",
+        _viridis(norm(depth_std, 0.0, float(depth_std.max()) or 1.0)),
+    )
+    _save_png(
+        output_path / f"{img_num}_depth_abs_err.png",
+        _viridis(norm(abs_err, 0.0, float(abs_err.max()) or 1.0)),
+    )
 
 
 def plot_auce_curves(
@@ -453,6 +513,12 @@ def get_average_uncertainty_metrics(
                 for k, v in d["auce"].items():
                     if np.ndim(v):
                         depth_auce_sum[k] = depth_auce_sum.get(k, 0.0) + v
+                if options.save_rendered_images and options.render_output_path:
+                    save_imgs_depth(
+                        options.render_output_path, i,
+                        d["images"]["depth_gt"], d["images"]["depth_pred"],
+                        d["images"]["depth_std"], d["images"]["abs_err"],
+                    )
         scalars.append(m)
 
     # average scalars over images (`eval_uncertainty.py:1070-1078`)

@@ -36,7 +36,13 @@ def stack_params(param_list) -> dict:
 
 
 def _channel_mean(x: jax.Array) -> jax.Array:
-    if x.ndim > 1 and x.shape[-1] > 1:
+    """The reference's ``.mean(dim=-1)`` channel reduction
+    (`ensemble_pipeline.py:169-171`) — there every map carries an explicit
+    trailing channel axis (3 for rgb, 1 for depth). Here scalar fields may
+    already be channel-less (e.g. splat depth/rgb_var are (H, W)), so only
+    a trailing axis of size 3 (rgb channels) is averaged and a trailing 1
+    is squeezed; anything else is a spatial axis and passes through."""
+    if x.ndim > 1 and x.shape[-1] == 3:
         return jnp.mean(x, axis=-1)
     if x.ndim > 1 and x.shape[-1] == 1:
         return x[..., 0]
@@ -70,6 +76,40 @@ def ensemble_render(
     apply_fn = member_apply or one_member
     stacked = jax.vmap(apply_fn)(stacked_params)  # dict of (M, ...)
     return combine_ensemble_outputs(stacked)
+
+
+def ensemble_render_splat(
+    stacked_params,
+    stacked_alive: jax.Array,
+    c2w: jax.Array,
+    fx, fy, cx, cy,
+    width: int,
+    height: int,
+    config,
+    background: jax.Array | None = None,
+) -> dict[str, jax.Array]:
+    """Single-launch splat ensemble render (`ensemble_pipeline.py:210`,
+    `EnsemblePipelineSplatfacto` — a per-member Python loop there).
+
+    Member Gaussian sets differ only in WHICH of the ``capacity`` slots are
+    alive — capacity is a static shape and ``alive`` is a mask — so member
+    params stack on a leading axis and the whole fan-out is one vmapped XLA
+    program instead of M separate launches. Combination rule unchanged.
+    """
+    from uncertainty_nerf_gs_tpu.models.splatfacto import render_splat
+
+    def one_member(params, alive):
+        return render_splat(
+            params, alive, c2w, fx, fy, cx, cy, width, height, config,
+            sh_deg=config.sh_degree, background=background,
+        )
+
+    stacked = jax.vmap(one_member)(stacked_params, stacked_alive)
+    keys = [
+        k for k in stacked
+        if k not in ("radii", "visible", "raster_overflow")
+    ]
+    return combine_ensemble_outputs({k: stacked[k] for k in keys})
 
 
 def combine_ensemble_outputs(

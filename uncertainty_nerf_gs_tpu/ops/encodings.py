@@ -431,7 +431,11 @@ def packed_cell_lookup_strided(
             ).reshape(m, r, s, feats)
             outs.append(f)
             continue
-        pad = (-(s - 1)) % k  # anchors at 0, k, ..., covering s-1
+        # anchors at 0, k, ... — always place one anchor strictly past s-1
+        # (clamped back to s-1) so every sample has a right bracket even
+        # when k | s-1; the duplicated last anchor is harmless via the
+        # max(t_right - t_left, eps) guard below (w clips to 0).
+        pad = (-(s - 1)) % k or k
         na = (s - 1 + pad) // k + 1
         idx = np.minimum(np.arange(na) * k, s - 1)  # static anchor samples
         pos_a = norm_positions[:, idx]  # (R, A, 3)

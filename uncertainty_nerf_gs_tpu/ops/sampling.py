@@ -163,7 +163,9 @@ def sample_pdf(
     # lane-major bin axis. Gradients never flow through the sampler in the
     # nerfacto training path (weights are stop-gradient'ed), and the Pallas
     # path stops them explicitly.
-    if jax.default_backend() != "cpu":
+    # pltpu kernels lower only on TPU backends ("tpu", or the "axon"
+    # remote-TPU tunnel); GPU/other accelerators take the XLA path (ADVICE r2).
+    if jax.default_backend() in ("tpu", "axon"):
         from uncertainty_nerf_gs_tpu.ops.pdf_pallas import invert_cdf_tpu
 
         new_edges = invert_cdf_tpu(cdf, s_edges, u)

@@ -74,6 +74,13 @@ def _normalize_positions(cfg: NerfactoConfig, positions: jax.Array):
     return jnp.clip(normalized, 0.0, 1.0), inside.astype(positions.dtype)
 
 
+# ProposalDensityField always constructs its grid with its own
+# features_per_level default (2) — NerfactoModel does not forward the main
+# field's cfg.features_per_level to proposals (models/nerfacto.py:118-131),
+# so the fused pack/lookup must not either (ADVICE r2).
+_PROP_FEATS = 2
+
+
 def _prop_grid_spec(cfg: NerfactoConfig, i: int) -> tuple[np.ndarray, int]:
     args = cfg.proposal_net_args[i]
     res = hash_grid_resolutions(
@@ -109,7 +116,9 @@ def pack_ensemble_tables(
 
             @jax.jit
             def pack_prop(rows, tsize=tsize):
-                return pack_member_cell_tables(rows, tsize, F, dtype=table_dtype)
+                return pack_member_cell_tables(
+                    rows, tsize, _PROP_FEATS, dtype=table_dtype
+                )
 
             out[f"proposal_{i}"] = pack_prop(p["encoding"]["cells"])
         else:
@@ -142,6 +151,11 @@ def build_fused_ensemble_render(
 
     def render(stacked_params, packed, ray_bundle: RayBundle):
         m = jax.tree.leaves(stacked_params)[0].shape[0]
+        # Intentionally identical to the non-fused path
+        # (models/nerfacto.py::render, NearFarCollider semantics): nerfacto
+        # clamps every ray to the CONFIG near/far planes, discarding any
+        # dataparser-provided per-ray bounds. The fused-vs-sequential parity
+        # tests rely on both paths doing the same thing here.
         rb = ray_bundle._replace(
             nears=jnp.full_like(ray_bundle.nears, cfg.near_plane),
             fars=jnp.full_like(ray_bundle.fars, cfg.far_plane),
@@ -158,11 +172,11 @@ def build_fused_ensemble_render(
                 res_i, tsize_i = _prop_grid_spec(cfg, i)
                 if proposal_anchor_stride:
                     feats = packed_cell_lookup_strided(
-                        tbl, norm, rs.midpoints, res_i, tsize_i, m, F
+                        tbl, norm, rs.midpoints, res_i, tsize_i, m, _PROP_FEATS
                     )  # (M, R, S, LF)
                 else:
                     feats = packed_cell_lookup(
-                        tbl, norm.reshape(-1, 3), res_i, tsize_i, m, F
+                        tbl, norm.reshape(-1, 3), res_i, tsize_i, m, _PROP_FEATS
                     ).reshape(m, *pos.shape[:-1], -1)  # (M, R, S, LF)
 
                 def member_density(params, f, i=i, sel=sel):

