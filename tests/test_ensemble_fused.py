@@ -142,6 +142,163 @@ def test_packed_lookup_matches_per_member(rng):
         np.testing.assert_allclose(fused[j], ref, rtol=1e-5, atol=1e-6)
 
 
+# ----------------------------------------------------------- hybrid layout
+
+
+def test_hybrid_dense_level_matches_canonical_trilerp(rng):
+    """A hybrid dense level is an EXACT trilinear interpolation of its
+    canonical (res+1)^3 corner grid — corner sharing restored."""
+    from uncertainty_nerf_gs_tpu.ops.encodings import HybridHashEncoding
+
+    enc = HybridHashEncoding(
+        num_levels=1, min_res=5, max_res=5, log2_hashmap_size=9,
+        features_per_level=2,
+    )
+    pts = jnp.asarray(rng.uniform(0.0, 1.0, (60, 3)).astype(np.float32))
+    variables = enc.init(jax.random.PRNGKey(0), pts)
+    grid = np.asarray(
+        rng.normal(size=(6, 6, 6 * 2)).astype(np.float32)
+    )  # (z, y, x*F)
+    variables = {"params": {"corners_0": jnp.asarray(grid)}}
+    out = np.asarray(enc.apply(variables, pts))
+
+    g = grid.reshape(6, 6, 6, 2)
+    res = 5
+    for p, o in zip(np.asarray(pts), out):
+        scaled = p * res
+        base = np.minimum(np.floor(scaled).astype(int), res - 1)
+        f = scaled - base
+        acc = np.zeros(2)
+        for c in range(8):
+            a, b, cc = (c >> 2) & 1, (c >> 1) & 1, c & 1
+            w = (
+                (f[0] if a else 1 - f[0])
+                * (f[1] if b else 1 - f[1])
+                * (f[2] if cc else 1 - f[2])
+            )
+            acc += w * g[base[2] + cc, base[1] + b, base[0] + a]
+        np.testing.assert_allclose(o, acc, rtol=1e-5, atol=1e-6)
+
+
+def test_hybrid_continuous_across_cell_faces(rng):
+    """Corner sharing makes the dense-level field CONTINUOUS across cell
+    boundaries (the cell layout's defining discontinuity is gone)."""
+    from uncertainty_nerf_gs_tpu.ops.encodings import HybridHashEncoding
+
+    enc = HybridHashEncoding(
+        num_levels=2, min_res=4, max_res=8, log2_hashmap_size=12,
+        init_scale=1.0,
+    )
+    pts0 = jnp.asarray([[0.25 - 1e-5, 0.4, 0.6]], jnp.float32)  # left of face
+    pts1 = jnp.asarray([[0.25 + 1e-5, 0.4, 0.6]], jnp.float32)  # right of it
+    variables = enc.init(jax.random.PRNGKey(3), pts0)
+    o0, o1 = enc.apply(variables, pts0), enc.apply(variables, pts1)
+    assert float(jnp.abs(o1 - o0).max()) < 1e-3  # continuous (lerp-smooth)
+
+
+def test_hybrid_grads_shared_corners(rng):
+    """Gradients from samples in ADJACENT cells accumulate into the same
+    canonical corner (the sharing prior the sparse-view configs need)."""
+    from uncertainty_nerf_gs_tpu.ops.encodings import HybridHashEncoding
+
+    enc = HybridHashEncoding(
+        num_levels=1, min_res=2, max_res=2, log2_hashmap_size=9
+    )
+    # two points in different cells sharing the face x=0.5
+    pts = jnp.asarray([[0.4, 0.3, 0.3], [0.6, 0.3, 0.3]], jnp.float32)
+    variables = enc.init(jax.random.PRNGKey(0), pts)
+
+    def loss(v):
+        return jnp.sum(enc.apply(v, pts))
+
+    g = jax.grad(loss)(variables)["params"]["corners_0"]
+    g = np.asarray(g).reshape(3, 3, 3, 2)
+    # shared corners on the x=1 plane (grid x index 1) get weight from BOTH
+    # points: 0.8 (= 0.8 from left cell) + 0.2... each point contributes
+    # trilinear weights; corner (x=1,y=0,z=0) weight from p0: fx=0.8,
+    # from p1: 1-fx=0.8 -> total 2 * 0.8 * 0.4 * 0.4 = 0.256
+    np.testing.assert_allclose(g[0, 0, 1], 0.256, rtol=1e-4)
+
+
+def test_hybrid_mixed_dense_hashed_plan(rng):
+    """Levels split dense/hashed by res^3 <= table; both lookup paths run
+    and produce finite grads."""
+    from uncertainty_nerf_gs_tpu.ops.encodings import HybridHashEncoding
+
+    enc = HybridHashEncoding(
+        num_levels=3, min_res=4, max_res=32, log2_hashmap_size=9
+    )  # res 4 (dense), 11 (hashed: 1331 > 512), 32 (hashed)
+    _, is_dense = enc.level_plan()
+    assert is_dense == [True, False, False]
+    pts = jnp.asarray(rng.uniform(0, 1, (64, 3)).astype(np.float32))
+    variables = enc.init(jax.random.PRNGKey(0), pts)
+    assert "corners_0" in variables["params"]
+    assert variables["params"]["cells"].shape[0] == 2
+
+    def loss(v):
+        return jnp.sum(enc.apply(v, pts) ** 2)
+
+    g = jax.grad(loss)(variables)["params"]
+    for k, v in g.items():
+        assert np.isfinite(np.asarray(v)).all(), k
+    assert float(jnp.abs(g["corners_0"]).sum()) > 0
+    assert float(jnp.abs(g["cells"]).sum()) > 0
+
+
+def test_hybrid_packed_lookup_matches_per_member(rng):
+    """Fused hybrid pack + packed lookup == per-member encoding applies."""
+    from uncertainty_nerf_gs_tpu.ops.encodings import HybridHashEncoding
+    from uncertainty_nerf_gs_tpu.parallel.ensemble_fused import (
+        _grid_sizes,
+        _pack_encoding,
+    )
+    from uncertainty_nerf_gs_tpu.ops.encodings import packed_cell_lookup
+
+    m, feats = 3, 2
+    enc = HybridHashEncoding(
+        num_levels=3, min_res=4, max_res=32, log2_hashmap_size=9
+    )
+    pts = jnp.asarray(rng.uniform(0, 1, (40, 3)).astype(np.float32))
+    members = [
+        enc.init(jax.random.PRNGKey(i), pts)["params"] for i in range(m)
+    ]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *members)
+    res = hash_grid_resolutions(3, 4, 32)
+    packed = _pack_encoding(stacked, res, 512, feats, "hybrid", None)
+    sizes = _grid_sizes(res, 512, "hybrid")
+    fused = np.asarray(
+        packed_cell_lookup(packed, pts, res, sizes, m, feats)
+    )
+    for j in range(m):
+        ref = np.asarray(enc.apply({"params": members[j]}, pts))
+        np.testing.assert_allclose(fused[j], ref, rtol=1e-5, atol=1e-6)
+
+
+def test_fused_render_hybrid_matches_standard_for_identical_members(rng):
+    """Full fused render with grid_layout='hybrid' == the standard single-
+    model render when all members are identical."""
+    from uncertainty_nerf_gs_tpu.models.ensemble import ensemble_render
+
+    cfg = _tiny_config(grid_layout="hybrid", uncertainty_channels=1)
+    model = NerfactoModel(cfg)
+    rb = _bundle(rng, n=16)
+    single = init_ensemble_params(model, 1)
+    stacked = jax.tree.map(
+        lambda x: jnp.concatenate([x, x, x], axis=0), single
+    )
+    packed = pack_ensemble_tables(model, stacked)
+    fused = build_fused_ensemble_render(model)(stacked, packed, rb)
+    params0 = jax.tree.map(lambda x: x[0], single)
+    ref = model.apply(
+        {"params": params0}, rb, train=False, use_average_appearance=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused["rgb"]), np.asarray(ref["rgb"]), rtol=2e-4, atol=2e-4
+    )
+    # identical members: epistemic variance ~ 0
+    assert float(jnp.max(fused["rgb_var_epi"])) < 1e-8
+
+
 # --------------------------------------------------------- fused ensemble
 
 

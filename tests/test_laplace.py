@@ -126,6 +126,31 @@ def test_laplace_render_outputs(laplace_setup):
     assert float(jnp.max(out["rgb_std"])) > 0
 
 
+def test_ggn_is_sum_reduction_over_rays(laplace_setup):
+    """The reference fits the GGN of MSELoss(reduction=\"sum\")
+    (`laplace_model.py:364`): seeing a batch twice must DOUBLE the GGN
+    (round-2 regression: a 1/(R*C) normalization left the posterior ~3000x
+    too wide and blurred the predictive render to PSNR ~22)."""
+    import jax.tree_util as jtu
+
+    trainer, params, _, cfg = laplace_setup
+    from uncertainty_nerf_gs_tpu.cameras.cameras import generate_rays
+
+    key = jax.random.PRNGKey(5)
+    batch = trainer.sample_batch(key, 128)
+    rb = generate_rays(
+        trainer.cameras, batch["camera_indices"], batch["pixel_x"],
+        batch["pixel_y"],
+    )
+    rb2 = jax.tree.map(lambda a: jnp.concatenate([a, a], 0), rb)
+    p1 = fit_laplace(trainer.model, params, lambda i: rb, cfg, n_iters=1)
+    p2 = fit_laplace(trainer.model, params, lambda i: rb2, cfg, n_iters=1)
+    for a, b in zip(jtu.tree_leaves(p1), jtu.tree_leaves(p2)):
+        np.testing.assert_allclose(
+            2.0 * np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-8
+        )
+
+
 def test_laplace_variance_shrinks_with_prior_precision(laplace_setup):
     trainer, params, posterior, cfg = laplace_setup
     rb = _bundle(16)

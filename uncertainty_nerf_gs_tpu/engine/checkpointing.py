@@ -111,7 +111,10 @@ def load_ensemble_checkpoints(
 
 
 def ggn_cache_path(config_dir: Path, n_iters: int) -> Path:
-    return Path(config_dir) / f"ggn_{n_iters}.npz"
+    # v2: sum-reduction GGN scale (matches the reference's
+    # MSELoss(reduction="sum"); round-2 caches under the old name carried
+    # the mean-normalized fit and must not be reused)
+    return Path(config_dir) / f"ggn_v2_{n_iters}.npz"
 
 
 def save_ggn_cache(config_dir: Path, n_iters: int, posterior: Any) -> Path:

@@ -35,11 +35,18 @@ from uncertainty_nerf_gs_tpu.ops.activations import shifted_softplus, trunc_exp
 from uncertainty_nerf_gs_tpu.ops.encodings import (
     CellHashEncoding,
     HashEncoding,
+    HybridHashEncoding,
     nerf_encoding,
     sh_encoding,
 )
 from uncertainty_nerf_gs_tpu.ops.mlp import MLP
 from uncertainty_nerf_gs_tpu.ops.spatial import contract_to_unit_cube, normalize_aabb
+
+_GRID_LAYOUTS = {
+    "cell": CellHashEncoding,
+    "corner": HashEncoding,
+    "hybrid": HybridHashEncoding,
+}
 
 
 class FieldOutputs(NamedTuple):
@@ -87,11 +94,14 @@ class NerfactoField(nn.Module):
     # bf16 hidden compute (reference AMP parity); heads stay f32
     compute_dtype: Any = None
     # "cell" = cell-major grid, one gather per sample-level (TPU-fast; see
-    # ops/encodings.py cell-major notes); "corner" = tcnn-parity semantics
+    # ops/encodings.py cell-major notes); "corner" = tcnn-parity semantics;
+    # "hybrid" = dense levels canonical-corner (exact sharing) expanded to
+    # cell rows, hashed levels cell-native — one gather per sample-level
+    # AND the corner-sharing prior on coarse structure
     grid_layout: str = "cell"
 
     def setup(self):
-        enc_cls = CellHashEncoding if self.grid_layout == "cell" else HashEncoding
+        enc_cls = _GRID_LAYOUTS[self.grid_layout]
         self.encoding = enc_cls(
             num_levels=self.num_levels,
             min_res=self.base_res,
@@ -302,9 +312,7 @@ class ProposalDensityField(nn.Module):
 
     def setup(self):
         if self.field_type != "mlp":
-            enc_cls = (
-                CellHashEncoding if self.grid_layout == "cell" else HashEncoding
-            )
+            enc_cls = _GRID_LAYOUTS[self.grid_layout]
             self.encoding = enc_cls(
                 num_levels=self.num_levels,
                 min_res=self.base_res,

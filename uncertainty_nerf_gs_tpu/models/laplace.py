@@ -114,8 +114,16 @@ def fit_laplace(
             return jax.jacrev(_render_ray_from_heads)(heads, tr, pe, de, config)
 
         jacs = jax.vmap(ray_jac)(trunk, pen, deltas)  # leaves: (R, 3, ...)
-        # GGN of MSELoss(mean): d2L/df2 = 2 / (R * C)
-        scale = 2.0 / (num_rays * 3.0)
+        del num_rays
+        # GGN of MSELoss(reduction="sum") — the reference's choice
+        # (`laplace_model.py:364`, used by `eval_uncertainty.py:1110`):
+        # d2L/df2 = 2 with NO normalization over rays/channels, so the
+        # accumulated GGN grows with total rays seen and the posterior
+        # tightens accordingly. (Round-2 normalized by 1/(R*C), which left
+        # the posterior ~3000x too wide — the root cause of the "Laplace
+        # renders at PSNR 22 while the model is at 40" anomaly: the MC mean
+        # over an over-wide weight posterior blurs the render.)
+        scale = 2.0
         return jax.tree.map(lambda j: scale * jnp.sum(j**2, axis=(0, 1)), jacs)
 
     total = None
@@ -304,7 +312,9 @@ def fit_laplace_full_cov(
             jac = jax.jacrev(flat_heads_render)(theta, tr, pe, de)  # (3, dim)
             return jac.T @ jac  # (dim, dim)
 
-        scale = 2.0 / (num_rays * 3.0)
+        del num_rays
+        # sum-reduction MSE GGN, matching the diagonal fit (see fit_laplace)
+        scale = 2.0
         return scale * jnp.sum(jax.vmap(ray_contrib)(trunk, pen, deltas), axis=0)
 
     total = jnp.zeros((dim, dim))

@@ -75,7 +75,9 @@ class NerfactoConfig:
     # proposal_net_args["field_type"]
     proposal_field_type: str = "hash"
     # hash-grid physical layout: "cell" (one gather per sample-level,
-    # TPU-fast, the default) or "corner" (tcnn-parity semantics)
+    # TPU-fast, the default), "corner" (tcnn-parity semantics), or
+    # "hybrid" (dense levels canonical-corner expanded to cell rows —
+    # corner-sharing prior AND one gather per sample-level)
     grid_layout: str = "cell"
     proposal_net_args: tuple = (
         dict(num_levels=5, max_res=128, log2_hashmap_size=17, hidden_dim=16),

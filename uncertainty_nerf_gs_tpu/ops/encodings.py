@@ -272,17 +272,71 @@ def _lerp_matrices(num_lanes: int, group: int, out_dim: int, dtype=jnp.float32):
     return jnp.asarray(b, dtype), jnp.asarray(s, dtype)
 
 
+def _per_level_tables(table_rows, table_size, levels: int):
+    """Normalize (tables, sizes) to per-level lists.
+
+    Accepts either a single stacked (L, ...) array + int size (uniform
+    layouts) or lists of per-level arrays + per-level sizes (the hybrid
+    layout, where dense levels have res^3 cells and hashed levels
+    ``table_size``)."""
+    if isinstance(table_rows, (list, tuple)):
+        tables = list(table_rows)
+    else:
+        tables = [table_rows[lvl] for lvl in range(levels)]
+    if isinstance(table_size, (list, tuple, np.ndarray)):
+        sizes = [int(s) for s in table_size]
+    else:
+        sizes = [int(table_size)] * levels
+    assert len(tables) == levels and len(sizes) == levels
+    return tables, sizes
+
+
+def dense_corner_to_cell_rows(
+    grid: jax.Array, res: int, features_per_level: int = 2
+) -> jax.Array:
+    """Expand a canonical corner grid to cell-major lookup rows.
+
+    grid: (res+1, res+1, (res+1)*F) with axes (z, y, x*F) — the storage
+    shape keeps the minor dim wide so the param doesn't lane-pad 64x at
+    rest. Returns (n_rows, 128) cell rows (cpr cells per row, corner order
+    c = 4x + 2y + z, matching `cell_indices`/`pack_member_cell_tables`).
+
+    The expansion is 8 STATIC slices (one per corner offset) — contiguous
+    copies, bandwidth-bound, no gathers — so adjacent cells share corner
+    values exactly (the tcnn corner-sharing prior) while lookups stay
+    one-row-per-sample. Gradients scatter back into the shared grid via
+    the slice transpose (pad-add).
+    """
+    feats = features_per_level
+    block = 8 * feats
+    cpr = 128 // block
+    g = grid.reshape(res + 1, res + 1, res + 1, feats)  # (z, y, x, F)
+    slices = []
+    for corner in range(8):
+        a, b, c = (corner >> 2) & 1, (corner >> 1) & 1, corner & 1
+        slices.append(g[c : c + res, b : b + res, a : a + res])
+    cells = jnp.stack(slices, axis=3)  # (z, y, x, 8, F)
+    # linear cell index = x + res*(y + res*z) == C-order flatten of (z, y, x)
+    cells = cells.reshape(res**3, block)
+    pad = (-(res**3)) % cpr
+    if pad:
+        cells = jnp.pad(cells, ((0, pad), (0, 0)))
+    return cells.reshape(-1, 128)
+
+
 def cell_lookup(
-    table_rows: jax.Array,
+    table_rows,
     positions: jax.Array,
     resolutions: Sequence[int],
-    table_size: int,
+    table_size,
     features_per_level: int = 2,
 ) -> jax.Array:
     """Single-member cell-major lookup.
 
     table_rows: (L, n_rows, 128) with ``cpr = 128 // (8 F)`` cells packed
-    per 128-lane row (cell c lives at lanes [(c % cpr) * 8F, ...)).
+    per 128-lane row (cell c lives at lanes [(c % cpr) * 8F, ...)), or a
+    list of per-level (n_rows_l, 128) arrays (hybrid layout) with
+    ``table_size`` a matching per-level list of cell counts.
     Returns (n, L*F). All post-gather math stays in the lane dimension
     (see `_lerp_matrices`): cell selection is a one-hot-masked lane
     reduction, trilerp a pair of constant matmuls.
@@ -291,6 +345,9 @@ def cell_lookup(
     block = 8 * feats  # lanes per cell
     cpr = 128 // block
     n = positions.shape[0]
+    tables, sizes = _per_level_tables(
+        table_rows, table_size, len(np.asarray(resolutions))
+    )
     # cell-block select: one-hot(cell position in row) -> 128-lane mask
     cell_b = np.zeros((cpr, 128), np.float32)
     for c in range(cpr):
@@ -304,8 +361,8 @@ def cell_lookup(
 
     outs = []
     for lvl, res in enumerate(np.asarray(resolutions)):
-        idx, w = cell_indices(positions, int(res), table_size)
-        rows = table_rows[lvl][idx // cpr]  # (n, 128): ONE gather per sample
+        idx, w = cell_indices(positions, int(res), sizes[lvl])
+        rows = tables[lvl][idx // cpr]  # (n, 128): ONE gather per sample
         onehot = jax.nn.one_hot(idx % cpr, cpr, dtype=rows.dtype)  # (n, cpr)
         mask = onehot @ cell_b.astype(rows.dtype)  # (n, 128)
         cell = (rows * mask) @ cell_s.astype(rows.dtype)  # (n, 8F)
@@ -346,17 +403,19 @@ def pack_member_cell_tables(
 
 
 def packed_cell_lookup(
-    packed: jax.Array,
+    packed,
     positions: jax.Array,
     resolutions: Sequence[int],
-    table_size: int,
+    table_size,
     num_members: int,
     features_per_level: int = 2,
 ) -> jax.Array:
     """Ensemble cell-major lookup: one gather serves all M members.
 
     packed: (L, table_size, lanes) from `pack_member_cell_tables` (corner c
-    of a cell owns lanes [c*M*F, (c+1)*M*F)). Returns (M, n, L*F) float32.
+    of a cell owns lanes [c*M*F, (c+1)*M*F)), or a per-level list of
+    (T_l, lanes) arrays with ``table_size`` a matching per-level list
+    (hybrid layout). Returns (M, n, L*F) float32.
 
     Post-gather math is lane-space matmuls (see `_lerp_matrices`): trilerp
     reduces each level to (n, M*F) member-major lanes; a final per-member
@@ -366,15 +425,16 @@ def packed_cell_lookup(
     feats = features_per_level
     m = num_members
     mf = m * feats
-    lanes = packed.shape[-1]
-    n = positions.shape[0]
     levels = len(np.asarray(resolutions))
+    tables, sizes = _per_level_tables(packed, table_size, levels)
+    lanes = tables[0].shape[-1]
+    n = positions.shape[0]
     corner_b, corner_s = _lerp_matrices(lanes, mf, mf)
 
     outs = []
     for lvl, res in enumerate(np.asarray(resolutions)):
-        idx, w = cell_indices(positions, int(res), table_size)
-        rows = packed[lvl][idx]  # (n, lanes)
+        idx, w = cell_indices(positions, int(res), sizes[lvl])
+        rows = tables[lvl][idx]  # (n, lanes)
         wl = w.astype(rows.dtype) @ corner_b.astype(rows.dtype)  # (n, lanes)
         outs.append(((rows * wl) @ corner_s.astype(rows.dtype)))  # (n, MF)
     all_lvls = jnp.concatenate(outs, axis=-1).astype(jnp.float32)  # (n, L*MF)
@@ -390,11 +450,11 @@ def packed_cell_lookup(
 
 
 def packed_cell_lookup_strided(
-    packed: jax.Array,
+    packed,
     norm_positions: jax.Array,
     t_mid: jax.Array,
     resolutions: Sequence[int],
-    table_size: int,
+    table_size,
     num_members: int,
     features_per_level: int = 2,
     max_stride: int = 8,
@@ -417,15 +477,18 @@ def packed_cell_lookup_strided(
     feats = features_per_level
     m = num_members
     r, s, _ = norm_positions.shape
+    tables, sizes = _per_level_tables(
+        packed, table_size, len(np.asarray(resolutions))
+    )
     outs = []
     for lvl, res in enumerate(np.asarray(resolutions)):
         k = int(np.clip(s // (2 * int(res)), 1, max_stride))
         if k == 1:
             f = packed_cell_lookup(
-                packed[lvl : lvl + 1],
+                [tables[lvl]],
                 norm_positions.reshape(-1, 3),
                 [int(res)],
-                table_size,
+                [sizes[lvl]],
                 m,
                 feats,
             ).reshape(m, r, s, feats)
@@ -441,10 +504,10 @@ def packed_cell_lookup_strided(
         pos_a = norm_positions[:, idx]  # (R, A, 3)
         t_a = t_mid[:, idx]  # (R, A)
         f_a = packed_cell_lookup(
-            packed[lvl : lvl + 1],
+            [tables[lvl]],
             pos_a.reshape(-1, 3),
             [int(res)],
-            table_size,
+            [sizes[lvl]],
             m,
             feats,
         ).reshape(m, r, na, feats)
@@ -501,6 +564,83 @@ class CellHashEncoding(nn.Module):
         out = cell_lookup(
             cells, flat, resolutions, table_size, self.features_per_level
         )
+        return out.reshape(*positions.shape[:-1], self.output_dim)
+
+
+class HybridHashEncoding(nn.Module):
+    """Dense-corner / hashed-cell hybrid grid (ROUND3_PLAN item 2).
+
+    Levels whose cell grid fits the table (``res^3 <= table_size``) store a
+    CANONICAL corner grid — exact tcnn corner sharing, collision-free, the
+    protective prior sparse-view captures need (measured: at 12 views the
+    corner layout reaches ~28.9 dB where unshared cells overfit at ~22.7,
+    experiments/layout_quality.py) — expanded to cell-major rows by 8
+    static slices per call (`dense_corner_to_cell_rows`, bandwidth-bound).
+    Finer levels keep the cell-native hashed layout, so every level's
+    lookup stays ONE row gather per (sample, level) and the fused ensemble
+    eval path applies unchanged.
+
+    Dense param cost is exact ((res+1)^3 F per level — LESS than both other
+    layouts); hashed levels cost table_size * 8F as in the cell layout.
+    """
+
+    num_levels: int = 16
+    min_res: int = 16
+    max_res: int = 2048
+    log2_hashmap_size: int = 19
+    features_per_level: int = 2
+    init_scale: float = 1e-4
+
+    @property
+    def output_dim(self) -> int:
+        return self.num_levels * self.features_per_level
+
+    def level_plan(self) -> tuple[np.ndarray, list[bool]]:
+        """(resolutions, is_dense per level) — static."""
+        resolutions = hash_grid_resolutions(
+            self.num_levels, self.min_res, self.max_res
+        )
+        table_size = 2**self.log2_hashmap_size
+        return resolutions, [int(r) ** 3 <= table_size for r in resolutions]
+
+    @nn.compact
+    def __call__(self, positions: jax.Array) -> jax.Array:
+        feats = self.features_per_level
+        assert 128 % (8 * feats) == 0
+        table_size = 2**self.log2_hashmap_size
+        cpr = 128 // (8 * feats)
+        resolutions, is_dense = self.level_plan()
+
+        def uniform(scale):
+            return lambda key, shape: jax.random.uniform(
+                key, shape, minval=-scale, maxval=scale
+            )
+
+        n_hashed = sum(not d for d in is_dense)
+        if n_hashed:
+            n_rows = (table_size + cpr - 1) // cpr
+            hashed_cells = self.param(
+                "cells",
+                uniform(self.init_scale),
+                (n_hashed, n_rows, 128),
+            )
+        tables, sizes = [], []
+        hi = 0
+        for lvl, res in enumerate(int(r) for r in resolutions):
+            if is_dense[lvl]:
+                grid = self.param(
+                    f"corners_{lvl}",
+                    uniform(self.init_scale),
+                    (res + 1, res + 1, (res + 1) * feats),
+                )
+                tables.append(dense_corner_to_cell_rows(grid, res, feats))
+                sizes.append(res**3)
+            else:
+                tables.append(hashed_cells[hi])
+                sizes.append(table_size)
+                hi += 1
+        flat = positions.reshape(-1, 3)
+        out = cell_lookup(tables, flat, resolutions, sizes, feats)
         return out.reshape(*positions.shape[:-1], self.output_dim)
 
 

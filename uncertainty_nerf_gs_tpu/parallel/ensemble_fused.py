@@ -41,6 +41,7 @@ from uncertainty_nerf_gs_tpu.models.ensemble import combine_ensemble_outputs
 from uncertainty_nerf_gs_tpu.models.nerfacto import NerfactoConfig, NerfactoModel
 from uncertainty_nerf_gs_tpu.ops import raymarch
 from uncertainty_nerf_gs_tpu.ops.encodings import (
+    dense_corner_to_cell_rows,
     hash_grid_resolutions,
     pack_member_cell_tables,
     packed_cell_lookup,
@@ -89,38 +90,93 @@ def _prop_grid_spec(cfg: NerfactoConfig, i: int) -> tuple[np.ndarray, int]:
     return res, 2 ** args.get("log2_hashmap_size", 17)
 
 
-def pack_ensemble_tables(
-    model: NerfactoModel, stacked_params: Any, table_dtype: Any = None
-) -> dict[str, jax.Array | None]:
-    """One-time repack of stacked member cell tables into fused eval rows.
+def _grid_sizes(resolutions, table_size: int, layout: str):
+    """Per-level cell counts: res^3 for hybrid dense levels, table_size
+    elsewhere (must match `HybridHashEncoding.level_plan`)."""
+    if layout != "hybrid":
+        return [table_size] * len(resolutions)
+    return [
+        int(r) ** 3 if int(r) ** 3 <= table_size else table_size
+        for r in resolutions
+    ]
 
-    Requires ``grid_layout == "cell"``. Returns
-    ``{"field": (L, T, lanes), "proposal_i": ... or None (mlp proposals)}``.
+
+def _pack_encoding(
+    enc_params: dict,
+    resolutions,
+    table_size: int,
+    feats: int,
+    layout: str,
+    table_dtype: Any,
+):
+    """Pack one encoding's stacked member params into fused eval rows.
+
+    cell layout: ``cells`` (M, L, rows, 128) -> (L, T, lanes) array.
+    hybrid: dense levels expand each member's canonical corner grid to
+    cell rows first; returns a per-level list of (T_l, lanes) arrays.
     """
-    cfg = model.config
-    assert cfg.grid_layout == "cell", "fused ensemble needs the cell layout"
-    F = cfg.features_per_level
-    out: dict[str, jax.Array | None] = {}
+    if layout == "cell":
+        return jax.jit(
+            lambda rows: pack_member_cell_tables(
+                rows, table_size, feats, dtype=table_dtype
+            )
+        )(enc_params["cells"])
+    assert layout == "hybrid"
 
     @jax.jit
-    def pack_main(rows):
-        return pack_member_cell_tables(
-            rows, 2**cfg.log2_hashmap_size, F, dtype=table_dtype
-        )
+    def pack(enc_params):
+        tables = []
+        hi = 0
+        for lvl, res in enumerate(int(r) for r in np.asarray(resolutions)):
+            if res**3 <= table_size:
+                rows = jax.vmap(
+                    lambda g, res=res: dense_corner_to_cell_rows(g, res, feats)
+                )(enc_params[f"corners_{lvl}"])  # (M, rows, 128)
+                packed = pack_member_cell_tables(
+                    rows[:, None], res**3, feats, dtype=table_dtype
+                )[0]
+            else:
+                packed = pack_member_cell_tables(
+                    enc_params["cells"][:, hi : hi + 1],
+                    table_size,
+                    feats,
+                    dtype=table_dtype,
+                )[0]
+                hi += 1
+            tables.append(packed)
+        return tables
 
-    out["field"] = pack_main(stacked_params["field"]["encoding"]["cells"])
+    return pack(enc_params)
+
+
+def pack_ensemble_tables(
+    model: NerfactoModel, stacked_params: Any, table_dtype: Any = None
+) -> dict[str, Any]:
+    """One-time repack of stacked member grid tables into fused eval rows.
+
+    Requires ``grid_layout`` in {"cell", "hybrid"}. Returns
+    ``{"field": (L, T, lanes) or per-level list, "proposal_i": ... or None
+    (mlp proposals)}``.
+    """
+    cfg = model.config
+    layout = cfg.grid_layout
+    assert layout in ("cell", "hybrid"), "fused ensemble needs cell rows"
+    out: dict[str, Any] = {}
+    out["field"] = _pack_encoding(
+        stacked_params["field"]["encoding"],
+        hash_grid_resolutions(cfg.num_levels, cfg.base_res, cfg.max_res),
+        2**cfg.log2_hashmap_size,
+        cfg.features_per_level,
+        layout,
+        table_dtype,
+    )
     for i in range(len(cfg.proposal_net_args)):
         p = stacked_params.get(f"proposal_{i}", {})
         if "encoding" in p:
-            _, tsize = _prop_grid_spec(cfg, i)
-
-            @jax.jit
-            def pack_prop(rows, tsize=tsize):
-                return pack_member_cell_tables(
-                    rows, tsize, _PROP_FEATS, dtype=table_dtype
-                )
-
-            out[f"proposal_{i}"] = pack_prop(p["encoding"]["cells"])
+            res_i, tsize = _prop_grid_spec(cfg, i)
+            out[f"proposal_{i}"] = _pack_encoding(
+                p["encoding"], res_i, tsize, _PROP_FEATS, layout, table_dtype
+            )
         else:
             out[f"proposal_{i}"] = None  # mlp proposal: gather-free
     return out
@@ -147,7 +203,7 @@ def build_fused_ensemble_render(
     cfg = model.config
     F = cfg.features_per_level
     main_res = hash_grid_resolutions(cfg.num_levels, cfg.base_res, cfg.max_res)
-    main_T = 2**cfg.log2_hashmap_size
+    main_T = _grid_sizes(main_res, 2**cfg.log2_hashmap_size, cfg.grid_layout)
 
     def render(stacked_params, packed, ray_bundle: RayBundle):
         m = jax.tree.leaves(stacked_params)[0].shape[0]
@@ -170,6 +226,7 @@ def build_fused_ensemble_render(
             tbl = packed[f"proposal_{i}"]
             if tbl is not None:
                 res_i, tsize_i = _prop_grid_spec(cfg, i)
+                tsize_i = _grid_sizes(res_i, tsize_i, cfg.grid_layout)
                 if proposal_anchor_stride:
                     feats = packed_cell_lookup_strided(
                         tbl, norm, rs.midpoints, res_i, tsize_i, m, _PROP_FEATS

@@ -186,7 +186,11 @@ def build_render_fn(trainer, spec, eval_cameras, run_dir: Path,
 
             def batch_iter(step):
                 k = jax.random.fold_in(jax.random.PRNGKey(seed + 11), step)
-                batch = trainer.sample_batch(k, 1024)
+                # 4096 rays/batch: the reference fits its GGN on the
+                # datamanager's train batches (`laplace_model.py:367`,
+                # train_num_rays_per_batch=4096) and the sum-reduction GGN
+                # magnitude scales with total rays accumulated
+                batch = trainer.sample_batch(k, 4096)
                 return generate_rays(
                     trainer.cameras, batch["camera_indices"],
                     batch["pixel_x"], batch["pixel_y"],
@@ -267,7 +271,7 @@ def build_ensemble_render_fn(run_dirs: list[Path], seed: int = 0):
         ]
     )
 
-    if base.config.grid_layout == "cell":
+    if base.config.grid_layout in ("cell", "hybrid"):
         # fused shared-gather path: one gather serves all members
         from uncertainty_nerf_gs_tpu.parallel.ensemble_fused import (
             build_fused_ensemble_render,
