@@ -72,6 +72,12 @@ def bench_ensemble_render() -> dict:
         background_color="white",
         use_appearance_embedding=False,
         proposal_field_type="hash",
+        # the reference's own configs run under AMP
+        # (`mcdropout_models.py:91`, mixed_precision=True), so bf16 MLP
+        # compute IS the parity mode; measured r3: +1.5% throughput,
+        # bf16-vs-f32 render delta 1e-8 std MAE / >100 dB PSNR
+        # (experiments/r3_bf16_bench.py)
+        mixed_precision=True,
     )
     model = NerfactoModel(config)
     stacked_params = init_ensemble_params(model, NUM_MEMBERS)

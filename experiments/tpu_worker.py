@@ -1,0 +1,101 @@
+"""Persistent TPU job worker — ONE process for all TPU work in a round.
+
+The axon tunnel wedges ~15-20 min after TPU process churn (see memory
+notes), so instead of one process per experiment, this worker stays alive
+and executes job files sequentially in-process:
+
+  * drop `NNN_name.py` into /tmp/tpu_jobs/queue — picked up in sorted
+    order, exec'd with a fresh module namespace (`__name__ == "__main__"`),
+    stdout going to /tmp/tpu_jobs/logs/NNN_name.log;
+  * on completion the job moves to done/ (or failed/ with traceback);
+  * drop a file named STOP to shut the worker down cleanly.
+
+Jobs share the process's jax runtime; anything they leave in module caches
+persists (by design — remote-compile caches stay warm).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import sys
+import time
+import traceback
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+ROOT = Path("/tmp/tpu_jobs")
+QUEUE = ROOT / "queue"
+DONE = ROOT / "done"
+FAILED = ROOT / "failed"
+LOGS = ROOT / "logs"
+
+
+class Tee(io.TextIOBase):
+    def __init__(self, *streams):
+        self.streams = streams
+
+    def write(self, s):
+        for st in self.streams:
+            st.write(s)
+            st.flush()
+        return len(s)
+
+    def flush(self):
+        for st in self.streams:
+            st.flush()
+
+
+def run_job(path: Path) -> None:
+    log_path = LOGS / (path.stem + ".log")
+    src = path.read_text()
+    print(f"[worker] running {path.name} -> {log_path}", flush=True)
+    t0 = time.perf_counter()
+    with open(log_path, "w") as lf:
+        tee = Tee(sys.__stdout__, lf)
+        try:
+            code = compile(src, str(path), "exec")
+            g = {"__name__": "__main__", "__file__": str(path)}
+            with contextlib.redirect_stdout(tee), contextlib.redirect_stderr(tee):
+                exec(code, g)
+            dest = DONE / path.name
+            status = "done"
+        except BaseException:
+            with open(log_path, "a") as lf2:
+                lf2.write(traceback.format_exc())
+            sys.__stdout__.write(traceback.format_exc())
+            dest = FAILED / path.name
+            status = "FAILED"
+    path.rename(dest)
+    print(
+        f"[worker] {path.name}: {status} in {time.perf_counter()-t0:.0f}s",
+        flush=True,
+    )
+
+
+def main() -> None:
+    for d in (QUEUE, DONE, FAILED, LOGS):
+        d.mkdir(parents=True, exist_ok=True)
+    # warm the runtime once so the first job doesn't pay tunnel setup
+    import jax
+    import jax.numpy as jnp
+
+    print("[worker] probing device...", flush=True)
+    print("[worker] device ok:", float(jnp.ones((8, 128)).sum()),
+          jax.devices(), flush=True)
+    while True:
+        stop = ROOT / "STOP"
+        if stop.exists():
+            stop.unlink()
+            print("[worker] STOP — exiting", flush=True)
+            return
+        jobs = sorted(QUEUE.glob("*.py"))
+        if jobs:
+            run_job(jobs[0])
+        else:
+            time.sleep(5)
+
+
+if __name__ == "__main__":
+    main()
