@@ -78,7 +78,8 @@ def sparse_layout_quality():
         write_blender_dataset(scene, num_train=12, num_test=3, height=64, width=64)
     results = {}
     for layout in ("hybrid", "corner", "cell"):
-        d = WORK / f"sparse_{layout}"
+        # v2: hybrid dense criterion extended to (res+1)^3 <= 8*table
+        d = WORK / f"sparse_{layout}_v2"
         ov = dict(SPARSE_OVERRIDES, grid_layout=layout)
         if not list(d.glob("step-*.ckpt")):
             train_main([
@@ -90,7 +91,7 @@ def sparse_layout_quality():
             ])
         out = eval_main([
             "--load-config", str(d),
-            "--output-path", str(WORK / f"sparse_metrics_{layout}.json"),
+            "--output-path", str(WORK / f"sparse_metrics_{layout}_v2.json"),
         ])
         results[layout] = {
             k: out["results"][k] for k in ("psnr", "ssim")

@@ -227,13 +227,14 @@ def test_hybrid_mixed_dense_hashed_plan(rng):
 
     enc = HybridHashEncoding(
         num_levels=3, min_res=4, max_res=32, log2_hashmap_size=9
-    )  # res 4 (dense), 11 (hashed: 1331 > 512), 32 (hashed)
+    )  # dense while (res+1)^3 <= 8*512=4096: res 4, 11; hashed: 32
     _, is_dense = enc.level_plan()
-    assert is_dense == [True, False, False]
+    assert is_dense == [True, True, False]
     pts = jnp.asarray(rng.uniform(0, 1, (64, 3)).astype(np.float32))
     variables = enc.init(jax.random.PRNGKey(0), pts)
     assert "corners_0" in variables["params"]
-    assert variables["params"]["cells"].shape[0] == 2
+    assert "corners_1" in variables["params"]
+    assert variables["params"]["cells"].shape[0] == 1
 
     def loss(v):
         return jnp.sum(enc.apply(v, pts) ** 2)

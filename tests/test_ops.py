@@ -320,3 +320,32 @@ def test_trunc_exp_finite_at_extreme_inputs():
     assert np.isfinite(y).all()
     g = jax.grad(lambda v: trunc_exp(v).sum())(x)
     assert np.isfinite(np.asarray(g)).all()
+
+
+def test_cumsum_lanes_matches_jnp(rng):
+    """MXU-blocked prefix sum == jnp.cumsum for f32/int/bool, any length
+    (incl. the recursion path > 128 and the rasterizer's 1-D counting scan).
+    Regression: the tri constant must be a host constant, not a cached
+    tracer (a functools.cache'd jnp array poisoned later traces, r3)."""
+    import jax
+
+    from uncertainty_nerf_gs_tpu.ops.prefix import cumsum_lanes, cumsum_lanes_f32
+
+    for shape in ((7,), (64,), (256,), (1000,), (4, 300), (3, 2, 129)):
+        x = rng.normal(size=shape).astype(np.float32)
+        np.testing.assert_allclose(
+            np.asarray(cumsum_lanes_f32(jnp.asarray(x))),
+            np.cumsum(x, axis=-1), rtol=1e-5, atol=1e-5,
+        )
+    # integer counting scan is exact
+    hits = rng.integers(0, 2, size=(70_000,)).astype(bool)
+    got = np.asarray(cumsum_lanes_f32(jnp.asarray(hits, jnp.float32)))
+    np.testing.assert_array_equal(got.astype(np.int64), np.cumsum(hits))
+    # two different jits reusing the cached tri constant (tracer-leak check)
+    f1 = jax.jit(lambda a: cumsum_lanes_f32(a).sum())
+    f2 = jax.jit(lambda a: cumsum_lanes_f32(a * 2).sum())
+    x = jnp.asarray(rng.normal(size=(8, 256)).astype(np.float32))
+    assert np.isfinite(float(f1(x))) and np.isfinite(float(f2(x)))
+    # dispatcher: bool input returns int-typed cumsum (jnp semantics)
+    out = cumsum_lanes(jnp.asarray(hits))
+    np.testing.assert_array_equal(np.asarray(out), np.cumsum(hits))

@@ -458,13 +458,16 @@ def packed_cell_lookup_strided(
     num_members: int,
     features_per_level: int = 2,
     max_stride: int = 8,
+    stride_scale: float = 1.0,
 ) -> jax.Array:
     """Ensemble lookup with per-level anchor striding along the ray.
 
     At a level of resolution R_l, consecutive ray samples usually land in
     the same grid cell (a ray crosses <= ~R_l*sqrt(3) cells), so most of
     the per-sample gathers fetch duplicate rows. This evaluates level l
-    only at every K_l-th sample (K_l = clamp(S // (2 R_l), 1, max_stride))
+    only at every K_l-th sample (K_l = clamp(stride_scale * S // (2 R_l),
+    1, max_stride); stride_scale > 1 models samples concentrated into a
+    ~1/stride_scale fraction of the ray, as after PDF resampling)
     and linearly interpolates features along the ray between anchors —
     exact when both anchors share the sample's cell (trilerp is linear in
     position), a mild smoothing otherwise. Bracketing anchor indices are
@@ -482,7 +485,7 @@ def packed_cell_lookup_strided(
     )
     outs = []
     for lvl, res in enumerate(np.asarray(resolutions)):
-        k = int(np.clip(s // (2 * int(res)), 1, max_stride))
+        k = int(np.clip(int(stride_scale * s) // (2 * int(res)), 1, max_stride))
         if k == 1:
             f = packed_cell_lookup(
                 [tables[lvl]],
@@ -567,6 +570,20 @@ class CellHashEncoding(nn.Module):
         return out.reshape(*positions.shape[:-1], self.output_dim)
 
 
+def hybrid_is_dense(res: int, table_size: int) -> bool:
+    """Hybrid-layout dense criterion.
+
+    A hashed CELL level stores ``table_size * 8F`` params, so canonical
+    corner storage of ``(res+1)^3 * F`` is no bigger as long as
+    ``(res+1)^3 <= 8 * table_size`` — exact corner sharing and zero
+    collisions at the cell layout's own memory budget. (The naive
+    ``res^3 <= table_size`` rule left most levels unshared: measured 12-view
+    sparse PSNR 23.4 vs corner's ~29 — the sharing prior matters well past
+    the table-sized levels.)
+    """
+    return (int(res) + 1) ** 3 <= 8 * table_size
+
+
 class HybridHashEncoding(nn.Module):
     """Dense-corner / hashed-cell hybrid grid (ROUND3_PLAN item 2).
 
@@ -601,7 +618,9 @@ class HybridHashEncoding(nn.Module):
             self.num_levels, self.min_res, self.max_res
         )
         table_size = 2**self.log2_hashmap_size
-        return resolutions, [int(r) ** 3 <= table_size for r in resolutions]
+        return resolutions, [
+            hybrid_is_dense(int(r), table_size) for r in resolutions
+        ]
 
     @nn.compact
     def __call__(self, positions: jax.Array) -> jax.Array:
@@ -628,6 +647,8 @@ class HybridHashEncoding(nn.Module):
         hi = 0
         for lvl, res in enumerate(int(r) for r in resolutions):
             if is_dense[lvl]:
+                # dense cells address res^3 directly (cell_indices dense
+                # path needs size == res^3 regardless of the table budget)
                 grid = self.param(
                     f"corners_{lvl}",
                     uniform(self.init_scale),

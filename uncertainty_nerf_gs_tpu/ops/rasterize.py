@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from uncertainty_nerf_gs_tpu.ops.gaussians import Projection
+from uncertainty_nerf_gs_tpu.ops.prefix import cumsum_lanes
 
 TILE = 16
 ALPHA_CLAMP = 0.999
@@ -126,7 +127,9 @@ def rasterize_gaussians(
             & (means2d[:, 1] + radii >= y0)
             & (means2d[:, 1] - radii <= y0 + TILE)
         )
-        pos = jnp.cumsum(hit) - 1
+        # counting scan over all N Gaussians: MXU-blocked prefix sum (the
+        # lane-axis jnp.cumsum here was ~half the rasterizer's runtime)
+        pos = cumsum_lanes(hit) - 1
         hits_total = pos[-1] + 1
         slot = jnp.where(hit & (pos < row_cap), pos, row_cap)
         buf = jnp.full((row_cap + 1,), n, dtype=jnp.int32)
@@ -152,7 +155,7 @@ def rasterize_gaussians(
             & (row_x[ry] + row_radii[ry] >= x0)
             & (row_x[ry] - row_radii[ry] <= x0 + TILE)
         )
-        pos = jnp.cumsum(hit) - 1
+        pos = cumsum_lanes(hit) - 1
         hits_total = pos[-1] + 1
         slot = jnp.where(hit & (pos < capacity), pos, capacity)
         idx_buf = jnp.full((capacity + 1,), n, dtype=jnp.int32)

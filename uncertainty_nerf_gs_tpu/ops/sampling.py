@@ -18,6 +18,8 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
+from uncertainty_nerf_gs_tpu.ops.prefix import cumsum_lanes
+
 
 class RayBundle(NamedTuple):
     origins: jax.Array  # (R, 3)
@@ -113,6 +115,12 @@ def sample_uniform(
     return _edges_to_samples(ray_bundle, edges, spacing_fn, spacing_fn_inv)
 
 
+# lane-axis cumsum lowers poorly on TPU (sequential shift chain); the MXU
+# blocked-triangular-matmul prefix sum replaces it — measured as a dominant
+# cost of the PDF resampler at (32k rays, 256 bins)
+_cumsum_last = cumsum_lanes
+
+
 def sample_pdf(
     ray_bundle: RayBundle,
     s_edges: jax.Array,
@@ -139,7 +147,7 @@ def sample_pdf(
 
     pdf = weights / w_sum
     cdf = jnp.concatenate(
-        [jnp.zeros((num_rays, 1)), jnp.cumsum(pdf, axis=-1)], axis=-1
+        [jnp.zeros((num_rays, 1)), _cumsum_last(pdf)], axis=-1
     )
     cdf = jnp.clip(cdf, 0.0, 1.0)
 

@@ -43,6 +43,7 @@ from uncertainty_nerf_gs_tpu.ops import raymarch
 from uncertainty_nerf_gs_tpu.ops.encodings import (
     dense_corner_to_cell_rows,
     hash_grid_resolutions,
+    hybrid_is_dense,
     pack_member_cell_tables,
     packed_cell_lookup,
     packed_cell_lookup_strided,
@@ -96,7 +97,7 @@ def _grid_sizes(resolutions, table_size: int, layout: str):
     if layout != "hybrid":
         return [table_size] * len(resolutions)
     return [
-        int(r) ** 3 if int(r) ** 3 <= table_size else table_size
+        int(r) ** 3 if hybrid_is_dense(int(r), table_size) else table_size
         for r in resolutions
     ]
 
@@ -128,7 +129,7 @@ def _pack_encoding(
         tables = []
         hi = 0
         for lvl, res in enumerate(int(r) for r in np.asarray(resolutions)):
-            if res**3 <= table_size:
+            if hybrid_is_dense(res, table_size):
                 rows = jax.vmap(
                     lambda g, res=res: dense_corner_to_cell_rows(g, res, feats)
                 )(enc_params[f"corners_{lvl}"])  # (M, rows, 128)
@@ -187,6 +188,7 @@ def build_fused_ensemble_render(
     mesh: Mesh | None = None,
     parity_mode: bool = True,
     proposal_anchor_stride: bool = True,
+    main_stride_scale: float = 0.0,
 ) -> Callable:
     """Returns jitted ``render(stacked_params, packed_tables, ray_bundle)``.
 
@@ -198,7 +200,14 @@ def build_fused_ensemble_render(
     strided ray anchors and lerp along the ray (see
     `packed_cell_lookup_strided`) — cuts proposal gathers ~40% for a
     sub-0.1 dB render difference (validated in tests); the main field is
-    always exact.
+    exact unless ``main_stride_scale`` is set.
+
+    ``main_stride_scale`` (0 = off): also stride the MAIN field's coarse
+    levels. Post-proposal samples concentrate into a small fraction of the
+    ray, so the uniform-spacing stride rule never engages at S=48; a
+    stride_scale of ~4-8 models that concentration. Opt-in because the
+    main field feeds the MLPs directly — validate against an exact render
+    on a trained model before enabling (experiments/r3_main_stride.py).
     """
     cfg = model.config
     F = cfg.features_per_level
@@ -270,9 +279,15 @@ def build_fused_ensemble_render(
         # --- main field: one packed gather + vmapped member MLPs -------
         pos = rs.positions  # (R, S, 3)
         norm, sel = _normalize_positions(cfg, pos)
-        feats = packed_cell_lookup(
-            packed["field"], norm.reshape(-1, 3), main_res, main_T, m, F
-        ).reshape(m, *pos.shape[:-1], -1)
+        if main_stride_scale > 0.0:
+            feats = packed_cell_lookup_strided(
+                packed["field"], norm, rs.midpoints, main_res, main_T, m, F,
+                stride_scale=main_stride_scale,
+            )
+        else:
+            feats = packed_cell_lookup(
+                packed["field"], norm.reshape(-1, 3), main_res, main_T, m, F
+            ).reshape(m, *pos.shape[:-1], -1)
 
         def member_field(params, f):
             return model.apply(
