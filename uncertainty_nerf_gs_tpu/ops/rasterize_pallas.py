@@ -91,26 +91,40 @@ def _weights(alpha):
     return alpha * trans_excl, trans_excl
 
 
+# tiles composited per grid step: amortizes Mosaic grid-step overhead
+# (1200 single-tile steps measured ~26 us/step flat); the per-tile bodies
+# below are a static Python unroll over the block's G tiles
+_TILES_PER_STEP = 8
+
+
 def _fwd_kernel(packed_ref, px_ref, py_ref, img_ref, alpha_ref):
-    packed = packed_ref[0]  # (K, D)
-    px = px_ref[0]  # (1, P)
-    py = py_ref[0]
-    alpha = _alphas(packed, px, py)
-    w, _ = _weights(alpha)
-    pv = packed[:, 6:]  # (K, C)
-    img_ref[0] = jax.lax.dot_general(
-        w, pv, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (P, C)
-    # alpha laid out (T, 1, P): TPU blocks need legal trailing dims
-    alpha_ref[0, 0] = jnp.sum(w, axis=0)
+    for g in range(packed_ref.shape[0]):  # static unroll over G tiles
+        packed = packed_ref[g]  # (K, D)
+        px = px_ref[g]  # (1, P)
+        py = py_ref[g]
+        alpha = _alphas(packed, px, py)
+        w, _ = _weights(alpha)
+        pv = packed[:, 6:]  # (K, C)
+        img_ref[g] = jax.lax.dot_general(
+            w, pv, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (P, C)
+        # alpha laid out (T, 1, P): TPU blocks need legal trailing dims
+        alpha_ref[g, 0] = jnp.sum(w, axis=0)
 
 
 def _bwd_kernel(packed_ref, px_ref, py_ref, g_img_ref, g_alpha_ref, g_packed_ref):
-    packed = packed_ref[0]
-    px = px_ref[0]  # (1, P)
-    py = py_ref[0]
-    g_img = g_img_ref[0]  # (P, C)
-    g_alpha_out = g_alpha_ref[0, 0:1]  # (1, P)
+    for g in range(packed_ref.shape[0]):  # static unroll over G tiles
+        _bwd_tile(packed_ref, px_ref, py_ref, g_img_ref, g_alpha_ref,
+                  g_packed_ref, g)
+
+
+def _bwd_tile(packed_ref, px_ref, py_ref, g_img_ref, g_alpha_ref,
+              g_packed_ref, g):
+    packed = packed_ref[g]
+    px = px_ref[g]  # (1, P)
+    py = py_ref[g]
+    g_img = g_img_ref[g]  # (P, C)
+    g_alpha_out = g_alpha_ref[g, 0:1]  # (1, P)
     pv = packed[:, 6:]
 
     alpha = _alphas(packed, px, py)
@@ -160,7 +174,7 @@ def _bwd_kernel(packed_ref, px_ref, py_ref, g_img_ref, g_alpha_ref, g_packed_ref
     g_mux = jnp.sum(g_sigma * -(ca * dx + cb * dy), axis=1)
     g_muy = jnp.sum(g_sigma * -(cc * dy + cb * dx), axis=1)
 
-    g_packed_ref[0] = jnp.concatenate(
+    g_packed_ref[g] = jnp.concatenate(
         [
             g_mux[:, None], g_muy[:, None], g_ca[:, None], g_cb[:, None],
             g_cc[:, None], g_op[:, None], g_pv,
@@ -169,20 +183,31 @@ def _bwd_kernel(packed_ref, px_ref, py_ref, g_img_ref, g_alpha_ref, g_packed_ref
     )
 
 
+def _pad_tiles(arrs, t):
+    pad = (-t) % _TILES_PER_STEP
+    if pad == 0:
+        return arrs, t
+    return [
+        jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1)) for a in arrs
+    ], t + pad
+
+
 def _fwd_call(packed: jax.Array, px: jax.Array, py: jax.Array):
-    t, k, d = packed.shape
+    t0, k, d = packed.shape
     c = d - 6
-    return pl.pallas_call(
+    (packed, px, py), t = _pad_tiles([packed, px, py], t0)
+    G = _TILES_PER_STEP
+    img, alpha = pl.pallas_call(
         _fwd_kernel,
-        grid=(t,),
+        grid=(t // G,),
         in_specs=[
-            pl.BlockSpec((1, k, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, k, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 1, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 1, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, P, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, P, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 1, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((t, P, c), jnp.float32),
@@ -190,26 +215,31 @@ def _fwd_call(packed: jax.Array, px: jax.Array, py: jax.Array):
         ],
         interpret=_interpret(),
     )(packed, px, py)
+    return img[:t0], alpha[:t0]
 
 
 def _bwd_call(packed, px, py, g_img, g_alpha):
-    t, k, d = packed.shape
+    t0, k, d = packed.shape
+    (packed, px, py, g_img, g_alpha), t = _pad_tiles(
+        [packed, px, py, g_img, g_alpha], t0
+    )
+    G = _TILES_PER_STEP
     return pl.pallas_call(
         _bwd_kernel,
-        grid=(t,),
+        grid=(t // G,),
         in_specs=[
-            pl.BlockSpec((1, k, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, P, d - 6), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, k, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 1, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 1, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, P, d - 6), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 1, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, k, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, k, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[jax.ShapeDtypeStruct((t, k, d), jnp.float32)],
         interpret=_interpret(),
-    )(packed, px, py, g_img, g_alpha)[0]
+    )(packed, px, py, g_img, g_alpha)[0][:t0]
 
 
 def _split_pix(pix):

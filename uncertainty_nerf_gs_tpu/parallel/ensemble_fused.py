@@ -130,9 +130,13 @@ def _pack_encoding(
         hi = 0
         for lvl, res in enumerate(int(r) for r in np.asarray(resolutions)):
             if hybrid_is_dense(res, table_size):
-                rows = jax.vmap(
-                    lambda g, res=res: dense_corner_to_cell_rows(g, res, feats)
-                )(enc_params[f"corners_{lvl}"])  # (M, rows, 128)
+                # sequential over members: the expanded f32 cell rows of a
+                # big dense level are ~2 GB per member at full scale — a
+                # vmap would materialize all M at once
+                rows = jax.lax.map(
+                    lambda g, res=res: dense_corner_to_cell_rows(g, res, feats),
+                    enc_params[f"corners_{lvl}"],
+                )  # (M, rows, 128)
                 packed = pack_member_cell_tables(
                     rows[:, None], res**3, feats, dtype=table_dtype
                 )[0]
