@@ -140,11 +140,19 @@ def bench_rasterizer() -> dict:
         return fwd_bwd(params["means"] + 1e-6 * i)
 
     frames_per_sec = _bench(run, 1)
+    ms = 1000.0 / frames_per_sec
+    # Derived CUDA anchor (no GPU here to measure): gsplat-class tile
+    # rasterizers do 65k Gaussians at 640x480 fwd+bwd in roughly 3-6 ms on
+    # the reference's GPU class (the 3DGS paper's ~100+ fps training steps
+    # at higher resolutions imply single-digit-ms rasterization). Using
+    # 4 ms as the representative figure; vs_baseline = 4 / ours (>1 means
+    # faster than the anchor). Same ~2x uncertainty band as the ensemble
+    # baseline (BASELINE.md).
     return {
         "metric": "splat_rasterize_fwd_bwd_640x480_65k",
-        "value": round(1000.0 / frames_per_sec, 2),
+        "value": round(ms, 2),
         "unit": "ms/frame",
-        "vs_baseline": None,
+        "vs_baseline": round(4.0 / ms, 3),
     }
 
 

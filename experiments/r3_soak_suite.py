@@ -104,27 +104,32 @@ def sparse_layout_quality():
 
 
 def splat_soak():
+    """Full refine schedule (incl. stop_split_at and opacity resets) for
+    BOTH splat methods: the 090 run showed active-splatfacto degrading
+    past step 4000 (train psnr 17.9 -> 7.4 across the 6000 reset); plain
+    splatfacto under the same schedule isolates NLL-vs-schedule."""
     from uncertainty_nerf_gs_tpu.data.synthetic import write_blender_dataset
     from uncertainty_nerf_gs_tpu.scripts.train import main as train_main
 
     scene = WORK / "splat_scene"
     if not scene.exists():
         write_blender_dataset(scene, num_train=24, num_test=3, height=64, width=64)
-    d = WORK / "splat_soak"
-    ov = {
-        "capacity": 1 << 15,
-        "num_random": 4096,
-        "random_scale": 1.2,
-        "uncertainty_channels": 1,
-        # default refine schedule: stop_split_at 15000, reset_alpha_every...
-    }
-    train_main([
-        "active-splatfacto", "--data", str(scene), "--dataparser",
-        "blender-data", "--output-dir", str(d),
-        "--max-num-iterations", "16000", "--steps-per-save", "4000",
-        "--steps-per-eval-image", "4000",
-        "--seed", "0", "--log-every", "1000", "--overrides", json.dumps(ov),
-    ])
+    for method, unc in (("splatfacto", 0), ("active-splatfacto", 1)):
+        d = WORK / f"soak_{method}"
+        ov = {
+            "capacity": 1 << 15,
+            "num_random": 4096,
+            "random_scale": 1.2,
+            "uncertainty_channels": unc,
+        }
+        train_main([
+            method, "--data", str(scene), "--dataparser",
+            "blender-data", "--output-dir", str(d),
+            "--max-num-iterations", "16000", "--steps-per-save", "8000",
+            "--steps-per-eval-image", "2000",
+            "--seed", "0", "--log-every", "1000",
+            "--overrides", json.dumps(ov),
+        ])
 
 
 def nerfacto_soak():
