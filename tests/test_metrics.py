@@ -5,6 +5,7 @@ Oracles are direct numpy transcriptions of the reference math
 `scripts/eval_uncertainty.py:404-412`).
 """
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 import scipy.stats
@@ -157,3 +158,38 @@ def test_lpips_runs_and_orders(rng):
     d_far = float(lpips(img, far))
     assert d_same < 1e-6
     assert d_same < d_near < d_far
+
+
+def test_masked_ause_auce_equal_subset(rng):
+    """The device-side masked variants (VERDICT r2 weak-5) equal the
+    metrics computed on the boolean-indexed subset."""
+    n = 4096
+    err = rng.uniform(0.0, 1.0, n).astype(np.float32)
+    unc = rng.uniform(0.0, 1.0, n).astype(np.float32)
+    mask = rng.uniform(size=n) > 0.35
+
+    for err_type in ("mae", "mse", "rmse"):
+        _, o_m, v_m, a_m = ause(
+            jnp.asarray(unc), jnp.asarray(err), err_type,
+            mask=jnp.asarray(mask),
+        )
+        _, o_s, v_s, a_s = ause(
+            jnp.asarray(unc[mask]), jnp.asarray(err[mask]), err_type
+        )
+        np.testing.assert_allclose(np.asarray(o_m), np.asarray(o_s),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(v_m), np.asarray(v_s),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(float(a_m), float(a_s), atol=1e-6)
+
+    mu = rng.normal(size=n).astype(np.float32)
+    sig = rng.uniform(0.1, 1.0, n).astype(np.float32)
+    tgt = (mu + sig * rng.normal(size=n)).astype(np.float32)
+    got_m = auce(jnp.asarray(mu), jnp.asarray(sig), jnp.asarray(tgt),
+                 mask=jnp.asarray(mask))
+    got_s = auce(jnp.asarray(mu[mask]), jnp.asarray(sig[mask]),
+                 jnp.asarray(tgt[mask]))
+    for k in got_s:
+        np.testing.assert_allclose(
+            np.asarray(got_m[k]), np.asarray(got_s[k]), rtol=1e-5, atol=1e-6
+        )

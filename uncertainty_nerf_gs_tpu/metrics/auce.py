@@ -26,13 +26,21 @@ NUM_ALPHAS = 99
 
 
 @jax.jit
-def auce(mean_values: jax.Array, sigma_values: jax.Array, target_values: jax.Array):
+def auce(
+    mean_values: jax.Array,
+    sigma_values: jax.Array,
+    target_values: jax.Array,
+    mask: jax.Array | None = None,
+):
     """Calibration metric for Gaussian predictive distributions.
 
     Args:
       mean_values: (n,) predictive means.
       sigma_values: (n,) predictive standard deviations (>= 0).
       target_values: (n,) ground-truth values.
+      mask: optional (n,) bool; when given, equals `auce` on the masked
+        SUBSET exactly (invalid residuals count as never covered, masked
+        means), with no host boolean indexing.
 
     Returns:
       dict with the same keys as the reference: per-alpha ``coverage_values``,
@@ -56,12 +64,20 @@ def auce(mean_values: jax.Array, sigma_values: jax.Array, target_values: jax.Arr
         abs_resid / jnp.maximum(sigma_values, 1e-38),
         jnp.where(abs_resid == 0.0, 0.0, jnp.inf),
     )
+    if mask is None:
+        n_valid = jnp.float32(n)
+        sigma_mean = jnp.mean(sigma_values)
+    else:
+        mask = mask.reshape(-1)
+        n_valid = jnp.maximum(jnp.sum(mask).astype(jnp.float32), 1.0)
+        standardized = jnp.where(mask, standardized, jnp.inf)
+        sigma_mean = jnp.sum(jnp.where(mask, sigma_values, 0.0)) / n_valid
     sorted_std = jnp.sort(standardized)
     # coverage(alpha) = #{ standardized <= z_alpha } / n  (interval closed).
     counts = jnp.searchsorted(sorted_std, z, side="right")
-    coverage = counts.astype(jnp.float32) / jnp.float32(n)
+    coverage = counts.astype(jnp.float32) / n_valid
 
-    avg_length = 2.0 * z * jnp.mean(sigma_values)
+    avg_length = 2.0 * z * sigma_mean
 
     coverage_error = coverage - (1.0 - alphas)
     abs_coverage_error = jnp.abs(coverage_error)

@@ -28,7 +28,12 @@ NUM_RATIOS = 100
 
 
 @functools.partial(jax.jit, static_argnames=("err_type",))
-def ause(unc_vec: jax.Array, err_vec: jax.Array, err_type: str = "rmse"):
+def ause(
+    unc_vec: jax.Array,
+    err_vec: jax.Array,
+    err_type: str = "rmse",
+    mask: jax.Array | None = None,
+):
     """Sparsification-error metric.
 
     Args:
@@ -36,6 +41,12 @@ def ause(unc_vec: jax.Array, err_vec: jax.Array, err_type: str = "rmse"):
       err_vec: (n,) true error per pixel (e.g. mae/mse values).
       err_type: "rmse" applies sqrt to the mean of kept mse values;
         "mae"/"mse" use the mean directly.
+      mask: optional (n,) bool; when given, the metric equals `ause` on the
+        masked SUBSET exactly, computed under static shapes: masked-out
+        entries sort to the tail (+inf key) and the keep counts index a
+        prefix of the valid region only — no host boolean indexing
+        (depth metrics mask `depth_gt > 0`, reference
+        `eval_uncertainty.py:556-560`).
 
     Returns:
       (ratio_removed, oracle_curve, by_var_curve, ause_value) with curves of
@@ -46,15 +57,24 @@ def ause(unc_vec: jax.Array, err_vec: jax.Array, err_type: str = "rmse"):
     unc_vec = unc_vec.reshape(-1).astype(jnp.float32)
     err_vec = err_vec.reshape(-1).astype(jnp.float32)
     n = err_vec.shape[0]
+    if mask is None:
+        n_valid = jnp.int32(n)
+        to_tail = None
+    else:
+        mask = mask.reshape(-1)
+        n_valid = jnp.sum(mask).astype(jnp.int32)
+        to_tail = jnp.where(mask, 0.0, jnp.inf)
 
     ratio_removed = jnp.linspace(0.0, 1.0, NUM_RATIOS, endpoint=False)
-    # int((1 - r) * n) with float32 rounding semantics of the reference;
-    # clamp to >=1 so tiny inputs don't produce empty-slice NaNs.
+    # int((1 - r) * n_valid) with float32 rounding semantics of the
+    # reference; clamp to >=1 so tiny inputs don't produce empty slices.
     keep_counts = jnp.clip(
-        ((1.0 - ratio_removed) * n).astype(jnp.int32), 1, n
+        ((1.0 - ratio_removed) * n_valid).astype(jnp.int32), 1, n_valid
     )
 
     def curve(order_key: jax.Array) -> jax.Array:
+        if to_tail is not None:
+            order_key = order_key + to_tail  # invalid entries sort last
         order = jnp.argsort(order_key)
         errs = err_vec[order]
         prefix_mean = jnp.cumsum(errs) / jnp.arange(1, n + 1, dtype=jnp.float32)
