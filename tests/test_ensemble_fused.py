@@ -530,3 +530,55 @@ def test_fused_render_with_engaged_stride_is_close_to_exact(rng):
     assert diff < 0.02, diff
     for k in ("rgb", "depth", "rgb_std"):
         assert np.isfinite(np.asarray(strided[k])).all(), k
+
+
+def test_fused_render_main_stride_close_to_exact(rng):
+    """Opt-in main-field anchor stride: engaged coarse levels lerp along
+    the ray; render must stay close to exact and finite (quality gate on
+    trained models lives in experiments; this is the plumbing test)."""
+    cfg = _tiny_config(
+        uncertainty_channels=1,
+        num_nerf_samples=32,  # stride_scale 8 -> k = 8*32 // (2*res)
+        num_levels=3,
+        max_res=32,
+    )
+    model = NerfactoModel(cfg)
+    rb = _bundle(rng, n=16)
+    stacked = init_ensemble_params(model, 2)
+    packed = pack_ensemble_tables(model, stacked)
+    exact = build_fused_ensemble_render(model)(stacked, packed, rb)
+    strided = build_fused_ensemble_render(model, main_stride_scale=8.0)(
+        stacked, packed, rb
+    )
+    diff = float(jnp.abs(exact["rgb"] - strided["rgb"]).mean())
+    assert diff < 0.05, diff
+    for k in ("rgb", "depth", "rgb_std"):
+        assert np.isfinite(np.asarray(strided[k])).all(), k
+
+
+def test_fused_render_hybrid_with_proposal_stride(rng):
+    """Hybrid layout + engaged proposal stride compose (per-level tables
+    through the strided lookup)."""
+    cfg = _tiny_config(
+        grid_layout="hybrid",
+        uncertainty_channels=1,
+        num_proposal_samples=(64, 24),
+        num_nerf_samples=8,
+        proposal_net_args=(
+            dict(num_levels=2, max_res=8, log2_hashmap_size=9, hidden_dim=16),
+            dict(num_levels=2, max_res=16, log2_hashmap_size=9, hidden_dim=16),
+        ),
+    )
+    model = NerfactoModel(cfg)
+    rb = _bundle(rng, n=16)
+    stacked = init_ensemble_params(model, 2)
+    packed = pack_ensemble_tables(model, stacked)
+    exact = build_fused_ensemble_render(model, proposal_anchor_stride=False)(
+        stacked, packed, rb
+    )
+    strided = build_fused_ensemble_render(model, proposal_anchor_stride=True)(
+        stacked, packed, rb
+    )
+    diff = float(jnp.abs(exact["rgb"] - strided["rgb"]).mean())
+    assert diff < 0.02, diff
+    assert np.isfinite(np.asarray(strided["rgb_std"])).all()
