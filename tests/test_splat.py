@@ -6,6 +6,7 @@ cases; refinement against invariants (capacity conservation, alive-mask
 consistency).
 """
 
+import dataclasses
 import functools
 import numpy as np
 import jax
@@ -210,6 +211,108 @@ def test_refine_conserves_capacity(splat_setup):
     assert int(info["num_alive"]) <= cfg.capacity
     assert int(info["num_split"]) + int(info["num_dup"]) > 0
     assert np.isfinite(np.asarray(new_params["means"])).all()
+
+
+def _refine_toy_params(cap: int):
+    """Hand-built buffer where every alive slot is a split candidate
+    (unit scales >> densify_size_thresh, opacity ~0.95)."""
+    quats = jnp.tile(jnp.array([[1.0, 0.0, 0.0, 0.0]]), (cap, 1))
+    return {
+        "means": jnp.arange(cap * 3, dtype=jnp.float32).reshape(cap, 3),
+        "scales": jnp.zeros((cap, 3)),  # exp -> 1.0, splits at thresh 0.01
+        "quats": quats,
+        "opacities": jnp.full((cap,), 3.0),
+        "features_dc": jnp.zeros((cap, 3)),
+        "features_rest": jnp.zeros((cap, 3, 3)),
+    }
+
+
+def test_refine_saturated_leaves_originals_untouched():
+    """At full capacity no split can fund its children, so the budget cap
+    must leave every original in place (the pre-fix behavior overwrote them
+    with 1.6x-shrunk samples while dropping the children — the 16k-soak
+    collapse)."""
+    cap = 32
+    cfg = sf.SplatfactoConfig(capacity=cap, n_split_samples=2)
+    params = _refine_toy_params(cap)
+    state = sf.SplatState(
+        alive=jnp.ones((cap,), bool),
+        grad_accum=jnp.ones((cap,)),
+        vis_count=jnp.ones((cap,), jnp.int32),
+        max_radii=jnp.zeros((cap,)),
+    )
+    new_params, new_state, info = sf.refine_gaussians(
+        jax.random.PRNGKey(0), params, state, cfg, step=1000
+    )
+    assert int(info["num_split"]) == 0 and int(info["num_dup"]) == 0
+    assert int(info["num_budget_capped"]) == cap
+    assert int(info["num_dropped_capacity"]) == 0
+    np.testing.assert_array_equal(
+        np.asarray(new_params["means"]), np.asarray(params["means"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(new_params["scales"]), np.asarray(params["scales"])
+    )
+    # legacy behavior check: without the cap the originals get shrunk
+    cfg_off = sf.SplatfactoConfig(
+        capacity=cap, n_split_samples=2, refine_cap_to_budget=False
+    )
+    legacy, _, legacy_info = sf.refine_gaussians(
+        jax.random.PRNGKey(0), params, state, cfg_off, step=1000
+    )
+    assert int(legacy_info["num_dropped_capacity"]) > 0
+    assert np.abs(np.asarray(legacy["scales"]) - np.asarray(params["scales"])).sum() > 0
+
+
+def test_refine_budget_cap_admits_highest_gradient():
+    """Partially saturated: only the top-num_free candidates by average
+    screen-space gradient are admitted; the rest stay untouched."""
+    cap, n_alive = 32, 27  # 5 free slots, each split funds 1 child (S=2)
+    cfg = sf.SplatfactoConfig(capacity=cap, n_split_samples=2)
+    params = _refine_toy_params(cap)
+    alive = jnp.arange(cap) < n_alive
+    grads = jnp.where(alive, 0.01 * (1.0 + jnp.arange(cap, dtype=jnp.float32)), 0.0)
+    state = sf.SplatState(
+        alive=alive,
+        grad_accum=grads,
+        vis_count=jnp.ones((cap,), jnp.int32),
+        max_radii=jnp.zeros((cap,)),
+    )
+    new_params, new_state, info = sf.refine_gaussians(
+        jax.random.PRNGKey(0), params, state, cfg, step=1000
+    )
+    assert int(info["num_split"]) == 5
+    assert int(info["num_budget_capped"]) == n_alive - 5
+    assert int(info["num_dropped_capacity"]) == 0
+    touched = np.asarray(info["touched_slots"])
+    # admitted splits = the 5 highest-grad alive slots (22..26)
+    assert touched[22:27].all()
+    assert not touched[:22].any()
+    np.testing.assert_array_equal(
+        np.asarray(new_params["means"][:22]), np.asarray(params["means"][:22])
+    )
+
+
+def test_nll_ramp_blends_to_l1(splat_setup):
+    cfg, params, state = splat_setup
+    cfg_ramp = dataclasses.replace(cfg, nll_ramp_after_reset=200)
+    c2w = jnp.array([[1.0, 0, 0, 0], [0, 1.0, 0, 0], [0, 0, 1.0, 2.0]])
+    gt = jnp.zeros((48, 64, 3))
+    out = sf.render_splat(
+        params, state.alive, c2w, 40.0, 40.0, 32.0, 24.0, 64, 48, cfg,
+        background=jnp.zeros(3),
+    )
+    _, losses_w1 = sf.splatfacto_loss(out, gt, params, cfg_ramp, nll_weight=1.0)
+    _, losses_ref = sf.splatfacto_loss(out, gt, params, cfg, nll_weight=0.33)
+    # weight 1 == reference NLL; with ramping disabled the weight is ignored
+    np.testing.assert_allclose(
+        float(losses_w1["nll_loss"]), float(losses_ref["nll_loss"]), rtol=1e-6
+    )
+    _, losses_w0 = sf.splatfacto_loss(out, gt, params, cfg_ramp, nll_weight=0.0)
+    l1 = float(jnp.mean(jnp.abs(out["rgb"] - gt)))
+    np.testing.assert_allclose(
+        float(losses_w0["nll_loss"]), (1.0 - cfg.ssim_lambda) * l1, rtol=1e-5
+    )
 
 
 def test_opacity_reset(splat_setup):

@@ -90,6 +90,7 @@ class SplatfactoTrainer:
         self.images_dev = jnp.asarray(self.images, jnp.float32)
         self._cam_rng = np.random.default_rng(self.seed + 17)
         self.step = 0
+        self._last_opacity_reset = -(10**9)  # no reset yet -> ramp weight 1
         self.scene_extent = float(
             jnp.max(jnp.abs(self.cameras.camera_to_worlds[:, :3, 3]))
         )
@@ -106,6 +107,7 @@ class SplatfactoTrainer:
             "cam_opt_state": self.cam_opt_state,
             "splat_alive": np.asarray(self.splat_state.alive),
             "step": np.asarray(self.step),
+            "last_opacity_reset": np.asarray(self._last_opacity_reset),
         }
 
     def restore(self, ckpt: dict) -> None:
@@ -122,11 +124,13 @@ class SplatfactoTrainer:
             max_radii=jnp.zeros((cap,)),
         )
         self.step = int(ckpt["step"])
+        if "last_opacity_reset" in ckpt:
+            self._last_opacity_reset = int(ckpt["last_opacity_reset"])
 
     # ------------------------------------------------------------------ step
     def _step_impl(
         self, params, opt_state, camera_opt, cam_opt_state, alive, cam_idx,
-        gt, step, key,
+        gt, step, key, nll_weight,
     ):
         cfg = self.config
         cam = jax.tree.map(lambda x: x[cam_idx], self.cameras)
@@ -154,7 +158,7 @@ class SplatfactoTrainer:
                 self.cameras.width, self.cameras.height, cfg,
                 sh_deg=sh_deg, background=background, means2d_tap=tap,
             )
-            total, losses = sf.splatfacto_loss(out, gt, p, cfg)
+            total, losses = sf.splatfacto_loss(out, gt, p, cfg, nll_weight)
             return total, (losses, out["radii"], out["visible"], out["raster_overflow"])
 
         (total, (losses, radii, visible, overflow)), (grads, tap_grad, cam_grads) = (
@@ -189,13 +193,19 @@ class SplatfactoTrainer:
         # (the previous jax.random.randint round-trip stalled every step)
         cam_idx = int(self._cam_rng.integers(0, len(self.cameras)))
         gt = self.images_dev[cam_idx]
+        # NLL ramp after opacity resets (0 steps = reference parity: w == 1)
+        if cfg.nll_ramp_after_reset > 0:
+            since = self.step - self._last_opacity_reset
+            nll_w = min(1.0, max(0.0, since / cfg.nll_ramp_after_reset))
+        else:
+            nll_w = 1.0
         (
             self.params, self.opt_state, self.camera_opt, self.cam_opt_state,
             losses, tap_grad, radii, visible, overflow,
         ) = self._step_fn(
             self.params, self.opt_state, self.camera_opt, self.cam_opt_state,
             self.splat_state.alive, jnp.int32(cam_idx), gt,
-            jnp.int32(self.step), k_step,
+            jnp.int32(self.step), k_step, jnp.float32(nll_w),
         )
         self.splat_state = sf.accumulate_stats(
             self.splat_state, tap_grad, radii, visible,
@@ -229,6 +239,7 @@ class SplatfactoTrainer:
             if self.step % reset_period == 0:
                 self.params = sf.reset_opacities(self.params, cfg)
                 self._reset_moments(keys=("opacities",))
+                self._last_opacity_reset = self.step
         return {k: float(v) for k, v in losses.items()}
 
     def _reset_moments(self, keys: tuple[str, ...]) -> None:

@@ -85,6 +85,21 @@ class SplatfactoConfig:
     beta_min: float = 0.01
     rendered_uncertainty_eps: float = 1e-6
     opacity_loss_mult: float = 0.01
+    # fixed-capacity guards (no reference counterpart: gsplat's buffer grows
+    # dynamically, so the reference never refines at saturation).
+    # refine_cap_to_budget: admit densification candidates in descending
+    # avg-gradient priority only while their children fit the free-slot
+    # budget. Without it, a split whose children are dropped at saturation
+    # STILL overwrites its original in place with a 1.6x-shrunk jittered
+    # sample — every refine then erodes high-gradient coverage (the 16k-soak
+    # PSNR 17.9->4.5 collapse).
+    refine_cap_to_budget: bool = True
+    # steps after each opacity reset over which the NLL is linearly blended
+    # back in from a plain L1 photometric loss (0 = reference loss parity).
+    # Right after a reset the render is uniformly wrong and the 1/(2 beta^2)
+    # precision term amplifies that error ~1e4x (nll spikes ~7e4 in the
+    # soak); plain splatfacto's L1 recovers gracefully from the same reset.
+    nll_ramp_after_reset: int = 0
 
 
 class SplatState(NamedTuple):
@@ -308,10 +323,16 @@ def splatfacto_loss(
     image: jax.Array,
     params: dict[str, jax.Array],
     config: SplatfactoConfig,
+    nll_weight: jax.Array | float = 1.0,
 ) -> tuple[jax.Array, dict[str, jax.Array]]:
     """Train loss: splatfacto L1+SSIM; active adds Gaussian NLL, scale reg
     and the visible-Gaussian opacity loss (`activesplatfacto_model.py:
-    369-441`)."""
+    369-441`).
+
+    ``nll_weight`` (traced scalar) blends the active NLL with the plain L1
+    photometric term: ``w*nll + (1-w)*l1``. 1.0 (default) is the reference
+    loss; the trainer ramps it 0->1 after opacity resets when
+    ``config.nll_ramp_after_reset > 0`` (see the config docstring)."""
     pred = outputs["rgb"]
     gt = image
     losses: dict[str, jax.Array] = {}
@@ -324,6 +345,9 @@ def splatfacto_loss(
             + 0.5 * jnp.mean(jnp.log(var))
             + 4.0
         )
+        if config.nll_ramp_after_reset > 0:
+            l1 = jnp.mean(jnp.abs(pred - gt))
+            nll = nll_weight * nll + (1.0 - nll_weight) * l1
         losses["nll_loss"] = (1.0 - config.ssim_lambda) * nll
         # opacity loss on in-frustum Gaussians (`:416-434`)
         vis = outputs["visible"]
@@ -444,6 +468,24 @@ def refine_gaussians(
     splits = splits & do_densify
     dups = dups & do_densify
 
+    num_budget_capped = jnp.int32(0)
+    if config.refine_cap_to_budget:
+        # Admit candidates in descending avg-grad priority while their
+        # children fit the free-slot budget. A split funds n_samp-1 new rows
+        # (sample 0 replaces the original in place), a dup funds 1. Capping
+        # BEFORE the in-place overwrite is the point: an unfunded split must
+        # leave its original untouched, not shrink it and drop the children.
+        num_free = jnp.sum(~state.alive)
+        n_child = config.n_split_samples - 1
+        cost = jnp.where(splits, n_child, 0) + jnp.where(dups, 1, 0)
+        prio = jnp.where(splits | dups, avg_grad, -jnp.inf)
+        order = jnp.argsort(-prio)
+        fits_sorted = jnp.cumsum(cost[order]) <= num_free
+        keep = jnp.zeros((cap,), bool).at[order].set(fits_sorted)
+        num_budget_capped = jnp.sum((splits | dups) & ~keep)
+        splits = splits & keep
+        dups = dups & keep
+
     # --- children ---------------------------------------------------------
     k_samp, k_quat = jax.random.split(key)
     n_samp = config.n_split_samples
@@ -503,6 +545,7 @@ def refine_gaussians(
         "num_dup": jnp.sum(dups),
         "num_culled": jnp.sum(cull & state.alive),
         "num_dropped_capacity": dropped,
+        "num_budget_capped": num_budget_capped,
         # slots whose Gaussian was replaced this refine (new children +
         # in-place split sample 0) — their Adam moments must be zeroed
         # (splatfacto's dup_in_optim semantics)
