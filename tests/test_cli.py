@@ -196,7 +196,9 @@ def test_eval_laplace_cli(tiny_blender, tmp_path):
     res = out["results"]
     assert np.isfinite(res["psnr"])
     assert "nll_rgb" in res
-    assert (out_dir / "ggn_2.npz").exists()  # cache written
+    from uncertainty_nerf_gs_tpu.engine.checkpointing import ggn_cache_path
+
+    assert ggn_cache_path(out_dir, 2).exists()  # cache written
 
 
 def test_pose_gradient_maps(tiny_blender, tmp_path):
