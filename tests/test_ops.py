@@ -349,3 +349,101 @@ def test_cumsum_lanes_matches_jnp(rng):
     # dispatcher: bool input returns int-typed cumsum (jnp semantics)
     out = cumsum_lanes(jnp.asarray(hits))
     np.testing.assert_array_equal(np.asarray(out), np.cumsum(hits))
+
+
+# ---------------------------------------------------------------------------
+# face-consistency regularizer
+# ---------------------------------------------------------------------------
+
+
+def _shared_cell_rows(res, feats=2, fn=None):
+    """Pack cell rows where every cell's corner features come from one
+    global per-vertex function -> adjacent cells agree exactly."""
+    if fn is None:
+        fn = lambda v: np.stack([v.sum(-1) * 0.1, v[..., 0] * 0.2], -1)
+    block = 8 * feats
+    cpr = 128 // block
+    n_cells = res**3
+    n_rows = (n_cells + cpr - 1) // cpr
+    rows = np.zeros((n_rows, 128), np.float32)
+    for z in range(res):
+        for y in range(res):
+            for x in range(res):
+                idx = x + res * (y + res * z)
+                for o in range(8):
+                    ox, oy, oz = (o >> 2) & 1, (o >> 1) & 1, o & 1
+                    v = np.array([x + ox, y + oy, z + oz], np.float32)
+                    f = fn(v)
+                    lane0 = (idx % cpr) * block + o * feats
+                    rows[idx // cpr, lane0 : lane0 + feats] = f
+    return jnp.asarray(rows)
+
+
+def test_face_consistency_zero_when_shared():
+    from uncertainty_nerf_gs_tpu.ops.encodings import face_consistency_loss
+
+    res, table = 4, 128  # dense addressing (res^3 <= table)
+    rows = _shared_cell_rows(res)
+    loss = face_consistency_loss(rows, res, table, jax.random.PRNGKey(0), 256)
+    assert float(loss) < 1e-12
+
+
+def test_face_consistency_positive_on_disagreement():
+    from uncertainty_nerf_gs_tpu.ops.encodings import face_consistency_loss
+
+    res, table = 4, 128
+    rows = np.asarray(_shared_cell_rows(res)).copy()
+    rows[0, :16] += 1.0  # cell 0 disagrees with its neighbors everywhere
+    loss = face_consistency_loss(
+        jnp.asarray(rows), res, table, jax.random.PRNGKey(0), 4096
+    )
+    assert float(loss) > 1e-4
+    # and it is differentiable w.r.t. the rows
+    g = jax.grad(
+        lambda r: face_consistency_loss(
+            r, res, table, jax.random.PRNGKey(0), 4096
+        )
+    )(jnp.asarray(rows))
+    assert float(jnp.abs(g).sum()) > 0
+
+
+def test_face_consistency_trainer_wiring(rng):
+    """NerfactoTrainer with face_consistency_mult > 0 reports the loss and
+    training reduces cross-face disagreement."""
+    from uncertainty_nerf_gs_tpu.engine.trainer import (
+        NerfactoTrainer,
+        _encoding_face_loss,
+    )
+    from uncertainty_nerf_gs_tpu.models.nerfacto import NerfactoConfig
+    from uncertainty_nerf_gs_tpu.cameras.cameras import Cameras
+
+    n, h, w = 2, 8, 8
+    c2w = np.tile(np.eye(3, 4, dtype=np.float32)[None], (n, 1, 1))
+    c2w[:, 2, 3] = 2.0
+    cams = Cameras(
+        camera_to_worlds=jnp.asarray(c2w),
+        fx=jnp.full((n,), 8.0), fy=jnp.full((n,), 8.0),
+        cx=jnp.full((n,), w / 2), cy=jnp.full((n,), h / 2),
+        width=w, height=h,
+    )
+    images = np.random.default_rng(0).uniform(size=(n, h, w, 3)).astype(np.float32)
+    cfg = NerfactoConfig(
+        num_images=n, num_levels=2, base_res=4, max_res=8,
+        log2_hashmap_size=6, hidden_dim=8, hidden_dim_color=8, geo_feat_dim=4,
+        use_appearance_embedding=False, use_scene_contraction=False,
+        near_plane=0.5, far_plane=4.0, grid_layout="cell",
+        num_proposal_samples=(8,), num_nerf_samples=4,
+        proposal_net_args=(dict(num_levels=2, max_res=8, log2_hashmap_size=6, hidden_dim=8),),
+        face_consistency_mult=1.0, face_consistency_samples=128,
+    )
+    tr = NerfactoTrainer(config=cfg, cameras=cams, images=images, seed=0)
+    fc0 = float(
+        _encoding_face_loss(cfg, tr.state.params, jax.random.PRNGKey(7))
+    )
+    losses = tr.train(30, num_rays_per_batch=64)
+    assert "face_consistency_loss" in losses
+    assert np.isfinite(losses["face_consistency_loss"])
+    fc1 = float(
+        _encoding_face_loss(cfg, tr.state.params, jax.random.PRNGKey(7))
+    )
+    assert fc1 <= fc0 + 1e-6  # penalty drives cross-face agreement

@@ -44,6 +44,44 @@ class TrainState(NamedTuple):
     step: jax.Array
 
 
+def _encoding_face_loss(cfg: NerfactoConfig, model_params, key) -> jax.Array:
+    """Mean face-consistency penalty over the MAIN field's cell-stored grid
+    levels (all levels for grid_layout="cell"; the hashed levels only for
+    "hybrid" — its dense levels share corners exactly)."""
+    from uncertainty_nerf_gs_tpu.ops.encodings import (
+        face_consistency_loss,
+        hash_grid_resolutions,
+        hybrid_is_dense,
+    )
+
+    res_all = hash_grid_resolutions(cfg.num_levels, cfg.base_res, cfg.max_res)
+    table_size = 2**cfg.log2_hashmap_size
+    enc = model_params["field"]["encoding"]
+    if cfg.grid_layout == "cell":
+        levels = list(range(cfg.num_levels))
+    else:  # hybrid: params["cells"] stacks only the non-dense levels
+        levels = [
+            lvl
+            for lvl, r in enumerate(res_all)
+            if not hybrid_is_dense(int(r), table_size)
+        ]
+    if not levels:
+        return jnp.zeros(())
+    cells = enc["cells"]
+    terms = [
+        face_consistency_loss(
+            cells[j],
+            int(res_all[lvl]),
+            table_size,
+            jax.random.fold_in(key, lvl),
+            cfg.face_consistency_samples,
+            cfg.features_per_level,
+        )
+        for j, lvl in enumerate(levels)
+    ]
+    return sum(terms) / len(terms)
+
+
 @dataclasses.dataclass
 class NerfactoTrainer:
     """Owns model, params, optimizer, and the jitted step.
@@ -162,6 +200,13 @@ class NerfactoTrainer:
             rngs={"dropout": k_dropout},
         )
         total, losses = nerfacto_loss(outputs, batch, self.config)
+        cfg = self.config
+        if cfg.face_consistency_mult > 0.0 and cfg.grid_layout in ("cell", "hybrid"):
+            fc = cfg.face_consistency_mult * _encoding_face_loss(
+                cfg, model_params, jax.random.fold_in(rng, 0xFACE)
+            )
+            losses["face_consistency_loss"] = fc
+            total = total + fc
         return total, losses
 
     def _train_step_impl(self, state: TrainState, batch, rng):

@@ -86,6 +86,12 @@ class NerfactoConfig:
     # losses
     interlevel_loss_mult: float = 1.0
     distortion_loss_mult: float = 0.002
+    # cross-face corner-consistency penalty on cell-stored grid levels
+    # (ops/encodings.py::face_consistency_loss): softly restores the tcnn
+    # corner-sharing prior the cell layout trades away. 0 = off (no
+    # reference counterpart — tcnn corners are shared by construction).
+    face_consistency_mult: float = 0.0
+    face_consistency_samples: int = 1024
     # uncertainty (active-nerfacto)
     uncertainty_channels: int = 0
     beta_min: float = 0.01

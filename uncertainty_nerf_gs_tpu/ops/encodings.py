@@ -570,6 +570,58 @@ class CellHashEncoding(nn.Module):
         return out.reshape(*positions.shape[:-1], self.output_dim)
 
 
+def face_consistency_loss(
+    rows: jax.Array,
+    res: int,
+    table_size: int,
+    key: jax.Array,
+    num_vertices: int = 1024,
+    features_per_level: int = 2,
+) -> jax.Array:
+    """Stochastic cross-face corner-consistency penalty for one CELL-layout
+    level (ROUND4_PLAN item 5).
+
+    Cell-major levels store the 8 corner feature vectors of each cell
+    unshared, so adjacent cells may disagree on their common corners — the
+    loss of tcnn's corner-sharing prior that costs sparse-view quality
+    (12-view: corner 26.8 dB vs cell 22.1, STATUS.md). This penalty
+    softly restores it: sample interior grid vertices, read the feature
+    each of the 8 adjoining cells assigns to that vertex, and penalize the
+    variance across them. Costs 8 row gathers per sampled vertex — at the
+    default 1024 vertices, ~0.3% of a 4096-ray training batch's gathers.
+
+    rows: (n_rows, 128) packed cell rows of the level (cpr cells/row,
+    corner order c = 4x + 2y + z as in `cell_indices`).
+    """
+    if res < 2:
+        return jnp.zeros(())
+    feats = features_per_level
+    block = 8 * feats
+    cpr = 128 // block
+    # interior vertices: all 8 adjoining cells exist (no validity masking)
+    v = jax.random.randint(key, (num_vertices, 3), 1, res)
+    vals = []
+    for o in range(8):
+        off = jnp.array([(o >> 2) & 1, (o >> 1) & 1, o & 1], jnp.int32)
+        base = v - off[None]  # adjoining cell; vertex v is its corner o
+        if res**3 <= table_size:
+            idx = base[:, 0] + res * (base[:, 1] + res * base[:, 2])
+        else:
+            idx = _hash_corner_indices(base, jnp.int32(res), table_size)
+        r = rows[idx // cpr]  # (K, 128)
+        lane0 = (idx % cpr) * block + o * feats
+        f = jnp.stack(
+            [
+                jnp.take_along_axis(r, (lane0 + ff)[:, None], axis=1)[:, 0]
+                for ff in range(feats)
+            ],
+            -1,
+        )  # (K, F)
+        vals.append(f)
+    stacked = jnp.stack(vals, 0)  # (8, K, F)
+    return jnp.mean(jnp.var(stacked, axis=0))
+
+
 def hybrid_is_dense(res: int, table_size: int) -> bool:
     """Hybrid-layout dense criterion.
 
