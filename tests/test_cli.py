@@ -180,6 +180,17 @@ def test_eval_mcdropout_and_ensemble(tiny_blender, tmp_path):
     payload = json.load(open(tmp_path / "ens.json"))
     assert payload["method_name"] == "ensemble"
 
+    # --main-stride-scale: strided fused render stays close to the exact one
+    out3 = eval_main([
+        "--load-config", str(run_a),
+        "--load-config", str(run_b),
+        "--output-path", str(tmp_path / "ens_stride.json"),
+        "--main-stride-scale", "4.0",
+    ])
+    res3 = out3["results"]
+    assert np.isfinite(res3["psnr"])
+    assert abs(res3["psnr"] - res2["psnr"]) < 1.0
+
 
 def test_eval_laplace_cli(tiny_blender, tmp_path):
     """Laplace eval path: GGN fit (tiny iters), cache file, predictive render."""

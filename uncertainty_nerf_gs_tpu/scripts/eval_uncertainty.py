@@ -221,9 +221,16 @@ def build_render_fn(trainer, spec, eval_cameras, run_dir: Path,
     return _nerfacto_full_image_renderer(trainer, chunk_fn, eval_cameras)
 
 
-def build_ensemble_render_fn(run_dirs: list[Path], seed: int = 0):
+def build_ensemble_render_fn(
+    run_dirs: list[Path], seed: int = 0, main_stride_scale: float = 0.0
+):
     """Eval-time deep ensemble: load M runs, stack params, vmapped fan-out +
-    epi/alea combination (`ensemble_pipeline.py:144-191`)."""
+    epi/alea combination (`ensemble_pipeline.py:144-191`).
+
+    ``main_stride_scale`` (0 = exact): forwarded to the fused render —
+    evaluates the main field's coarse grid levels at strided ray anchors
+    (see `build_fused_ensemble_render`); validate on a trained model
+    before use (experiments: cross-PSNR vs the exact render)."""
     trainers, specs = [], []
     for d in run_dirs:
         t, s, _, _ = _load_run(d)
@@ -279,7 +286,9 @@ def build_ensemble_render_fn(run_dirs: list[Path], seed: int = 0):
         )
 
         packed = pack_ensemble_tables(base.model, stacked, table_dtype=jnp.bfloat16)
-        fused = build_fused_ensemble_render(base.model)
+        fused = build_fused_ensemble_render(
+            base.model, main_stride_scale=main_stride_scale
+        )
 
         def chunk_fn(rb):
             return fused(stacked, packed, rb)
@@ -321,6 +330,11 @@ def main(argv: list[str] | None = None) -> dict:
                          "(reference EvalUncertainty.unc_min)")
     ap.add_argument("--unc-max", type=float, default=1.0,
                     help="upper edge of the fixed std-map color window")
+    ap.add_argument("--main-stride-scale", type=float, default=0.0,
+                    help="fused-ensemble render: evaluate the main field's "
+                         "coarse grid levels at strided ray anchors "
+                         "(0 = exact; ~4 trades <0.1 dB for ~13%% throughput"
+                         " — validate per scene)")
     args = ap.parse_args(argv)
 
     lpips_params = None
@@ -331,7 +345,9 @@ def main(argv: list[str] | None = None) -> dict:
 
     run_dirs = [Path(p) for p in args.load_config]
     if len(run_dirs) > 1:
-        render_fn, eval_outputs, eval_images = build_ensemble_render_fn(run_dirs)
+        render_fn, eval_outputs, eval_images = build_ensemble_render_fn(
+            run_dirs, main_stride_scale=args.main_stride_scale
+        )
         method_name = "ensemble"
         ckpt = ";".join(str(latest_checkpoint(d)) for d in run_dirs)
     else:
