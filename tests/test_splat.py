@@ -415,3 +415,25 @@ def test_splat_ensemble_single_launch_matches_loop(splat_setup):
         np.testing.assert_allclose(
             np.asarray(got[k]), np.asarray(expected[k]), rtol=1e-5, atol=1e-5,
         )
+
+
+def test_fixed_eval_background_for_random_config(splat_setup):
+    """background_color="random" must eval on nerfstudio's fixed navy, not
+    black (reference eval branch, activesplatfacto_model.py:170-173)."""
+    cfg, params, state = splat_setup  # background_color defaults to random
+    np.testing.assert_allclose(
+        np.asarray(sf.fixed_background(cfg)), [0.1490, 0.1647, 0.2157]
+    )
+    assert np.asarray(
+        sf.fixed_background(dataclasses.replace(cfg, background_color="white"))
+    ).min() == 1.0
+    # a fully-transparent render composites exactly that background
+    empty = jnp.zeros_like(state.alive)
+    c2w = jnp.array([[1.0, 0, 0, 0], [0, 1.0, 0, 0], [0, 0, 1.0, 2.0]])
+    out = sf.render_splat(
+        params, empty, c2w, 40.0, 40.0, 32.0, 24.0, 64, 48, cfg,
+        background=sf.fixed_background(cfg),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["rgb"][0, 0]), [0.1490, 0.1647, 0.2157], atol=1e-5
+    )

@@ -289,8 +289,7 @@ class SplatfactoTrainer:
             sh_deg=cfg.sh_degree,
             background=(
                 jnp.asarray(background) if background is not None
-                else jnp.ones(3) if cfg.background_color == "white"
-                else jnp.zeros(3)
+                else sf.fixed_background(cfg)
             ),
         )
         return {

@@ -111,6 +111,26 @@ class SplatState(NamedTuple):
     max_radii: jax.Array  # max screen radius fraction since refine
 
 
+# nerfstudio's fixed eval background for background_color="random": the
+# viewer-default dark navy. At eval the reference composites on
+# `self.background_color` (`activesplatfacto_model.py:170-173`), which the
+# nerfstudio base model sets to this constant when the config says
+# "random" — NOT black. Evaluating a random-background-trained model on
+# black against a white-background GT scores ~3 dB on an actually-healthy
+# checkpoint (r3 soak false alarm).
+EVAL_BACKGROUND_RANDOM = (0.1490, 0.1647, 0.2157)
+
+
+def fixed_background(config: SplatfactoConfig) -> jnp.ndarray:
+    """Deterministic eval/render background for a config (reference
+    eval-branch semantics; training still randomizes when "random")."""
+    if config.background_color == "white":
+        return jnp.ones(3)
+    if config.background_color == "black":
+        return jnp.zeros(3)
+    return jnp.asarray(EVAL_BACKGROUND_RANDOM, jnp.float32)
+
+
 def opengl_to_viewmat(c2w: jax.Array) -> jax.Array:
     """(3, 4) OpenGL camera-to-world -> (4, 4) OpenCV world-to-camera."""
     flip = jnp.diag(jnp.array([1.0, -1.0, -1.0]))

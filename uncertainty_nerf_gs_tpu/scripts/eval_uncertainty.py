@@ -135,8 +135,7 @@ def build_render_fn(trainer, spec, eval_cameras, run_dir: Path,
                 cam.camera_to_worlds, cam.fx, cam.fy, cam.cx, cam.cy,
                 eval_cameras.width, eval_cameras.height, trainer.config,
                 sh_deg=trainer.config.sh_degree,
-                background=jnp.ones(3)
-                if trainer.config.background_color == "white" else jnp.zeros(3),
+                background=sf.fixed_background(trainer.config),
             )
             return {k: v for k, v in out.items() if k not in ("radii", "visible")}
 
@@ -244,6 +243,7 @@ def build_ensemble_render_fn(
     if spec.family == "splatfacto":
         # capacity is static and alive is a mask, so member params stack and
         # the fan-out is ONE jitted launch (VERDICT r2 #7)
+        from uncertainty_nerf_gs_tpu.models import splatfacto as _sf
         from uncertainty_nerf_gs_tpu.models.ensemble import (
             ensemble_render_splat,
             stack_params,
@@ -258,7 +258,7 @@ def build_ensemble_render_fn(
             return ensemble_render_splat(
                 stacked_p, stacked_alive, c2w, fx, fy, cx, cy,
                 eval_outputs.cameras.width, eval_outputs.cameras.height,
-                cfg0, background=jnp.zeros(3),
+                cfg0, background=_sf.fixed_background(cfg0),
             )
 
         def render(i: int):
