@@ -92,39 +92,61 @@ def _weights(alpha):
 
 
 # tiles composited per grid step: amortizes Mosaic grid-step overhead
-# (1200 single-tile steps measured ~26 us/step flat); the per-tile bodies
-# below are a static Python unroll over the block's G tiles
+# (1200 single-tile steps measured ~26 us/step flat)
 _TILES_PER_STEP = 8
 
 
+# The G tiles of a grid step are walked with lax.fori_loop, NOT a static
+# Python unroll: unrolled tile bodies keep every tile's (K, P)-sized
+# intermediates (~10 of them) live simultaneously in Mosaic's scoped-vmem
+# stack — 8 x 512 x 256 x 4B x ~10 ~ 40 MB, past the 16 MB limit at the
+# bench shape (the r3 TPU OOM in the backward). The loop body reuses one
+# tile's buffers; the grid-step amortization (~26 us/step flat) is kept.
+# Even one tile's backward body peaks ~16.6 MB (the Hillis-Steele scans
+# hold log2(K) live (K, P) rounds), so the scoped-vmem limit is raised
+# from Mosaic's 16 MB default — v5e VMEM is 128 MB and the block buffers
+# are <1 MB, so 64 MB of kernel stack is safely available.
+_VMEM_LIMIT = 64 * 1024 * 1024
+
+
+def _compiler_params():
+    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+
+
 def _fwd_kernel(packed_ref, px_ref, py_ref, img_ref, alpha_ref):
-    for g in range(packed_ref.shape[0]):  # static unroll over G tiles
-        packed = packed_ref[g]  # (K, D)
-        px = px_ref[g]  # (1, P)
-        py = py_ref[g]
+    def body(g, carry):
+        packed = packed_ref[pl.ds(g, 1)][0]  # (K, D)
+        px = px_ref[pl.ds(g, 1)][0]  # (1, P)
+        py = py_ref[pl.ds(g, 1)][0]
         alpha = _alphas(packed, px, py)
         w, _ = _weights(alpha)
         pv = packed[:, 6:]  # (K, C)
-        img_ref[g] = jax.lax.dot_general(
+        img_ref[pl.ds(g, 1)] = jax.lax.dot_general(
             w, pv, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (P, C)
+        )[None]  # (1, P, C)
         # alpha laid out (T, 1, P): TPU blocks need legal trailing dims
-        alpha_ref[g, 0] = jnp.sum(w, axis=0)
+        alpha_ref[pl.ds(g, 1)] = jnp.sum(w, axis=0)[None, None]
+        return carry
+
+    jax.lax.fori_loop(0, packed_ref.shape[0], body, 0)
 
 
 def _bwd_kernel(packed_ref, px_ref, py_ref, g_img_ref, g_alpha_ref, g_packed_ref):
-    for g in range(packed_ref.shape[0]):  # static unroll over G tiles
+    def body(g, carry):
         _bwd_tile(packed_ref, px_ref, py_ref, g_img_ref, g_alpha_ref,
                   g_packed_ref, g)
+        return carry
+
+    jax.lax.fori_loop(0, packed_ref.shape[0], body, 0)
 
 
 def _bwd_tile(packed_ref, px_ref, py_ref, g_img_ref, g_alpha_ref,
               g_packed_ref, g):
-    packed = packed_ref[g]
-    px = px_ref[g]  # (1, P)
-    py = py_ref[g]
-    g_img = g_img_ref[g]  # (P, C)
-    g_alpha_out = g_alpha_ref[g, 0:1]  # (1, P)
+    packed = packed_ref[pl.ds(g, 1)][0]
+    px = px_ref[pl.ds(g, 1)][0]  # (1, P)
+    py = py_ref[pl.ds(g, 1)][0]
+    g_img = g_img_ref[pl.ds(g, 1)][0]  # (P, C)
+    g_alpha_out = g_alpha_ref[pl.ds(g, 1)][0, 0:1]  # (1, P)
     pv = packed[:, 6:]
 
     alpha = _alphas(packed, px, py)
@@ -174,13 +196,13 @@ def _bwd_tile(packed_ref, px_ref, py_ref, g_img_ref, g_alpha_ref,
     g_mux = jnp.sum(g_sigma * -(ca * dx + cb * dy), axis=1)
     g_muy = jnp.sum(g_sigma * -(cc * dy + cb * dx), axis=1)
 
-    g_packed_ref[g] = jnp.concatenate(
+    g_packed_ref[pl.ds(g, 1)] = jnp.concatenate(
         [
             g_mux[:, None], g_muy[:, None], g_ca[:, None], g_cb[:, None],
             g_cc[:, None], g_op[:, None], g_pv,
         ],
         axis=1,
-    )
+    )[None]
 
 
 def _pad_tiles(arrs, t):
@@ -214,6 +236,7 @@ def _fwd_call(packed: jax.Array, px: jax.Array, py: jax.Array):
             jax.ShapeDtypeStruct((t, 1, P), jnp.float32),
         ],
         interpret=_interpret(),
+        compiler_params=None if _interpret() else _compiler_params(),
     )(packed, px, py)
     return img[:t0], alpha[:t0]
 
@@ -239,6 +262,7 @@ def _bwd_call(packed, px, py, g_img, g_alpha):
         ],
         out_shape=[jax.ShapeDtypeStruct((t, k, d), jnp.float32)],
         interpret=_interpret(),
+        compiler_params=None if _interpret() else _compiler_params(),
     )(packed, px, py, g_img, g_alpha)[0][:t0]
 
 
