@@ -397,3 +397,42 @@ def test_masked_pixel_sampling_device_side(tiny_blender):
     # identical key -> identical batch (pure function of the key)
     batch2 = tr.sample_batch(jax.random.PRNGKey(3), 2048)
     np.testing.assert_array_equal(cam, np.asarray(batch2["camera_indices"]))
+
+
+def test_sparse_parser_defaults_hybrid_facereg(tiny_blender, tmp_path):
+    """Sparse-view dataparsers flip the nerfacto grid layout to hybrid +
+    face-consistency (measured best at 12 views, see build_trainer); an
+    explicit grid_layout override suppresses the flip."""
+    from uncertainty_nerf_gs_tpu.scripts.train import build_trainer
+
+    # fabricate a 100-frame blender set (sparse-blender's fixed perms
+    # index into 100 train frames) by repeating frame 0
+    with open(tiny_blender / "transforms_train.json") as f:
+        meta = json.load(f)
+    root = tmp_path / "b100"
+    (root / "train").mkdir(parents=True)
+    import shutil
+
+    first = Path(meta["frames"][0]["file_path"]).name + ".png"
+    shutil.copy(tiny_blender / "train" / first, root / "train" / first)
+    meta100 = {
+        "camera_angle_x": meta["camera_angle_x"],
+        "frames": [dict(meta["frames"][0]) for _ in range(100)],
+    }
+    with open(root / "transforms_train.json", "w") as f:
+        json.dump(meta100, f)
+
+    kw = {"seed_name": "seed1", "num_images": 5}
+    tr, _, _ = build_trainer(
+        "nerfacto", root, "sparse-blender", parser_kwargs=kw,
+        config_overrides=dict(TINY_OVERRIDES),
+    )
+    assert tr.config.grid_layout == "hybrid"
+    assert tr.config.face_consistency_mult == 1.0
+
+    tr2, _, _ = build_trainer(
+        "nerfacto", root, "sparse-blender", parser_kwargs=kw,
+        config_overrides=dict(TINY_OVERRIDES, grid_layout="cell"),
+    )
+    assert tr2.config.grid_layout == "cell"
+    assert tr2.config.face_consistency_mult == 0.0

@@ -63,12 +63,16 @@ def build_trainer(method_name: str, data: Path, dataparser: str,
         and "grid_layout" not in (config_overrides or {})
     ):
         # Sparse-view captures are a core reference experiment
-        # (`sparse_nerfstudio_dataparser.py:189-238`); measured here
-        # (experiments/layout_quality.py): at 12 views the corner-shared
-        # layout reaches 28.9 dB while the cell default peaks at 22.7 and
-        # overfits — corner sharing is a protective prior under sparse
-        # supervision, so sparse parsers default to it.
-        cfg = dataclasses.replace(cfg, grid_layout="corner")
+        # (`sparse_nerfstudio_dataparser.py:189-238`): corner sharing is a
+        # protective prior under few-view supervision (cell overfits,
+        # experiments/layout_quality.py). Measured on the 12-view scene at
+        # equal budget: cell 22.1 / hybrid 23.4 / corner 26.8 / hybrid +
+        # face-consistency@1.0 28.7 dB PSNR — and hybrid trains ~12x
+        # faster per step than corner (row gathers vs 8-corner gathers),
+        # so sparse parsers default to hybrid + the face regularizer.
+        cfg = dataclasses.replace(
+            cfg, grid_layout="hybrid", face_consistency_mult=1.0
+        )
     if config_overrides:
         cfg = dataclasses.replace(cfg, **config_overrides)
 
