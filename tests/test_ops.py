@@ -447,3 +447,51 @@ def test_face_consistency_trainer_wiring(rng):
         _encoding_face_loss(cfg, tr.state.params, jax.random.PRNGKey(7))
     )
     assert fc1 <= fc0 + 1e-6  # penalty drives cross-face agreement
+
+
+def test_fused_resampler_matches_xla_path():
+    """resample_edges_tpu (interpret mode on CPU) == the XLA fallback math
+    in sample_pdf, including the all-zero-weights eps renormalization."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from uncertainty_nerf_gs_tpu.ops.pdf_pallas import resample_edges_tpu
+
+    rng = np.random.default_rng(0)
+    for s, n in ((256, 97), (96, 49), (24, 13)):
+        r = 7  # non-multiple of the ray block: exercises padding
+        w = jnp.asarray(rng.uniform(0, 1, (r, s)).astype(np.float32)) ** 4
+        w = w.at[2].set(0.0)  # all-zero histogram row (eps path)
+        edges = jnp.sort(
+            jnp.asarray(rng.uniform(0, 1, (r, s + 1)).astype(np.float32)),
+            axis=1,
+        )
+        u = jnp.clip(
+            (jnp.arange(n, dtype=jnp.float32)[None] + 0.5) / n, 0, 1 - 1e-6
+        )
+        u = jnp.broadcast_to(u, (r, n))
+
+        got = np.asarray(resample_edges_tpu(w, edges, u))
+
+        # the XLA fallback math, verbatim (sample_pdf's else branch)
+        hp, eps = 0.01, 1e-5
+        ww = w + hp
+        w_sum = jnp.sum(ww, axis=-1, keepdims=True)
+        padding = jnp.clip(eps - w_sum, 0.0, None)
+        ww = ww + padding / s
+        w_sum = w_sum + padding
+        pdf = ww / w_sum
+        cdf = jnp.concatenate([jnp.zeros((r, 1)), jnp.cumsum(pdf, -1)], -1)
+        cdf = jnp.clip(cdf, 0.0, 1.0)
+        idx = jnp.sum((cdf[:, :, None] <= u[:, None, :]).astype(jnp.int32), 1) - 1
+        idx = jnp.clip(idx, 0, s - 1)
+        c0 = jnp.take_along_axis(cdf, idx, -1)
+        c1 = jnp.take_along_axis(cdf, idx + 1, -1)
+        e0 = jnp.take_along_axis(edges, idx, -1)
+        e1 = jnp.take_along_axis(edges, idx + 1, -1)
+        frac = jnp.where(c1 > c0, (u - c0) / jnp.maximum(c1 - c0, 1e-12), 0.0)
+        want = np.asarray(e0 + frac * (e1 - e0))
+
+        np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+        assert (np.diff(got, axis=1) >= -1e-6).all()  # sorted edges

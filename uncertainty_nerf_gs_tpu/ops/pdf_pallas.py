@@ -111,3 +111,131 @@ def invert_cdf_tpu(cdf: jax.Array, s_edges: jax.Array, u: jax.Array) -> jax.Arra
     e1 = jnp.where(e1 >= _BIG, 1.0, e1)
     frac = jnp.where(c1 > c0, (u - c0) / jnp.maximum(c1 - c0, 1e-12), 0.0)
     return (e0 + frac * (e1 - e0))[:r]
+
+
+# ---------------------------------------------------------------------------
+# Fully fused PDF resampler: histogram padding -> normalize -> CDF (MXU
+# triangular matmul) -> bracket -> interpolate, ONE pallas_call.
+#
+# The staged path above (XLA prefix-matmul cumsum + three bracket kernel
+# calls + XLA merges) materializes (R, S+1) cdf/edges and four (R, N)
+# bracket arrays in HBM between every stage; in-context that made the PDF
+# chain ~185 ms of a 543 ms fused ensemble render (r3 ablation) vs ~70 ms
+# standalone. Fusing the whole resampler keeps everything VMEM-resident.
+# Reference semantics unchanged (nerfstudio PDFSampler: per-bin padding,
+# eps re-normalization, piecewise-linear inversion).
+# ---------------------------------------------------------------------------
+
+
+def _interpret() -> bool:
+    return jax.default_backend() not in ("tpu", "axon")
+
+
+def _resample_kernel(w_ref, edges_ref, u_ref, out_ref, *, hist_pad, eps):
+    w = w_ref[:, :] + hist_pad  # (BR, S)
+    s = w.shape[1]
+    # lane-chunked sum (Mosaic reduces cliff past ~192 lanes)
+    wsum = None
+    for lo in range(0, s, _CHUNK_S):
+        part = jnp.sum(w[:, lo:min(lo + _CHUNK_S, s)], axis=1, keepdims=True)
+        wsum = part if wsum is None else wsum + part
+    padding = jnp.maximum(eps - wsum, 0.0)
+    w = w + padding / s
+    pdf = w / (wsum + padding)
+
+    # inclusive prefix sum on the MXU: pdf @ upper-triangular ones
+    ii = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+    ut = (ii <= jj).astype(jnp.float32)
+    cdf_in = jax.lax.dot_general(
+        pdf, ut, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    cdf_in = jnp.clip(cdf_in, 0.0, 1.0)
+
+    # leading zero column + BIG sentinel pad to the edges' lane extent
+    br = w.shape[0]
+    sp = edges_ref.shape[1]
+    cdf = jnp.concatenate(
+        [
+            jnp.zeros((br, 1), jnp.float32),
+            cdf_in,
+            jnp.full((br, sp - s - 1), _BIG, jnp.float32),
+        ],
+        axis=1,
+    )
+    edges = edges_ref[:, :]
+
+    n = u_ref.shape[1]
+    big = jnp.float32(_BIG)
+    for j in range(n):  # static unroll over query columns
+        uj = u_ref[:, j][:, None]  # (BR, 1)
+        c0 = e0 = None
+        c1 = e1 = None
+        for lo in range(0, sp, _CHUNK_S):  # <=128-lane masked reduces
+            cc = cdf[:, lo:lo + _CHUNK_S]
+            ec = edges[:, lo:lo + _CHUNK_S]
+            le = cc <= uj
+            c0_c = jnp.max(jnp.where(le, cc, 0.0), axis=1)
+            e0_c = jnp.max(jnp.where(le, ec, 0.0), axis=1)
+            c1_c = jnp.min(jnp.where(le, big, cc), axis=1)
+            e1_c = jnp.min(jnp.where(le, big, ec), axis=1)
+            if c0 is None:
+                c0, e0, c1, e1 = c0_c, e0_c, c1_c, e1_c
+            else:  # sorted chunks: brackets merge exactly by max/min
+                c0 = jnp.maximum(c0, c0_c)
+                e0 = jnp.maximum(e0, e0_c)
+                c1 = jnp.minimum(c1, c1_c)
+                e1 = jnp.minimum(e1, e1_c)
+        c1 = jnp.where(c1 >= big, 1.0, c1)
+        e1 = jnp.where(e1 >= big, 1.0, e1)
+        frac = jnp.where(
+            c1 > c0, (uj[:, 0] - c0) / jnp.maximum(c1 - c0, 1e-12), 0.0
+        )
+        out_ref[:, j] = e0 + frac * (e1 - e0)
+
+
+def resample_edges_tpu(
+    weights: jax.Array,
+    s_edges: jax.Array,
+    u: jax.Array,
+    histogram_padding: float = 0.01,
+    eps: float = 1e-5,
+) -> jax.Array:
+    """Fused nerfstudio-semantics PDF resampling: (R, S) weights +
+    (R, S+1) sorted normalized edges + (R, N) queries -> (R, N) new edges.
+    Not differentiable (the nerfacto path stop-gradients sampler inputs)."""
+    weights = jax.lax.stop_gradient(weights).astype(jnp.float32)
+    s_edges = jax.lax.stop_gradient(s_edges).astype(jnp.float32)
+    u = jax.lax.stop_gradient(u).astype(jnp.float32)
+
+    r, s = weights.shape
+    n = u.shape[1]
+    sp = ((s + 1 + _CHUNK_S - 1) // _CHUNK_S) * _CHUNK_S
+    s_edges = jnp.pad(
+        s_edges, ((0, 0), (0, sp - s - 1)), constant_values=_BIG
+    )
+    pad_r = (-r) % _BLOCK_R
+    if pad_r:
+        weights = jnp.pad(weights, ((0, pad_r), (0, 0)), constant_values=1.0)
+        s_edges = jnp.pad(s_edges, ((0, pad_r), (0, 0)), constant_values=_BIG)
+        u = jnp.pad(u, ((0, pad_r), (0, 0)), constant_values=0.5)
+    rp = r + pad_r
+
+    kernel = functools.partial(
+        _resample_kernel, hist_pad=float(histogram_padding), eps=float(eps)
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(rp // _BLOCK_R,),
+        in_specs=[
+            pl.BlockSpec((_BLOCK_R, s), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BLOCK_R, sp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_BLOCK_R, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (_BLOCK_R, n), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((rp, n), jnp.float32),
+        interpret=_interpret(),
+    )(weights, s_edges, u)
+    return out[:r]

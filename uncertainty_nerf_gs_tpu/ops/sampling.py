@@ -139,17 +139,6 @@ def sample_pdf(
     during training, evenly spaced u at eval.
     """
     num_rays, num_bins = weights.shape
-    weights = weights + histogram_padding
-    w_sum = jnp.sum(weights, axis=-1, keepdims=True)
-    padding = jnp.clip(eps - w_sum, 0.0, None)
-    weights = weights + padding / num_bins
-    w_sum = w_sum + padding
-
-    pdf = weights / w_sum
-    cdf = jnp.concatenate(
-        [jnp.zeros((num_rays, 1)), _cumsum_last(pdf)], axis=-1
-    )
-    cdf = jnp.clip(cdf, 0.0, 1.0)
 
     n_new = num_samples + 1  # sample new edges
     if key is not None:
@@ -162,11 +151,13 @@ def sample_pdf(
         u = jnp.broadcast_to(u, (num_rays, n_new))
     u = jnp.clip(u, 0.0, 1.0 - 1e-6)
 
-    # CDF inversion. On TPU a Pallas kernel streams the sorted bins once
-    # with register-resident bracketing state (ops/pdf_pallas.py) — XLA's
-    # lowering of the same math costs ~25% of a whole fused ensemble
-    # render. Elsewhere (CPU tests), a fused compare-reduce replaces the
-    # vmapped searchsorted (which was itself ~45% of the render); reducing
+    # On TPU the WHOLE resampler (histogram padding -> CDF on the MXU ->
+    # bracket -> interpolate) is one fused Pallas kernel
+    # (ops/pdf_pallas.py::resample_edges_tpu): the staged version's HBM
+    # roundtrips between cumsum / inversion / merge made the PDF chain
+    # ~185 ms of a 543 ms fused ensemble render (r3 ablation). Elsewhere
+    # (CPU tests), a fused compare-reduce replaces the vmapped
+    # searchsorted (which was itself ~45% of the round-1 render); reducing
     # over the MIDDLE axis (bins in sublanes) measures 3.2x faster than a
     # lane-major bin axis. Gradients never flow through the sampler in the
     # nerfacto training path (weights are stop-gradient'ed), and the Pallas
@@ -174,10 +165,24 @@ def sample_pdf(
     # pltpu kernels lower only on TPU backends ("tpu", or the "axon"
     # remote-TPU tunnel); GPU/other accelerators take the XLA path (ADVICE r2).
     if jax.default_backend() in ("tpu", "axon"):
-        from uncertainty_nerf_gs_tpu.ops.pdf_pallas import invert_cdf_tpu
+        from uncertainty_nerf_gs_tpu.ops.pdf_pallas import resample_edges_tpu
 
-        new_edges = invert_cdf_tpu(cdf, s_edges, u)
+        new_edges = resample_edges_tpu(
+            weights, s_edges, u, histogram_padding, eps
+        )
     else:
+        weights = weights + histogram_padding
+        w_sum = jnp.sum(weights, axis=-1, keepdims=True)
+        padding = jnp.clip(eps - w_sum, 0.0, None)
+        weights = weights + padding / num_bins
+        w_sum = w_sum + padding
+
+        pdf = weights / w_sum
+        cdf = jnp.concatenate(
+            [jnp.zeros((num_rays, 1)), _cumsum_last(pdf)], axis=-1
+        )
+        cdf = jnp.clip(cdf, 0.0, 1.0)
+
         idx = jnp.sum(
             (cdf[:, :, None] <= u[:, None, :]).astype(jnp.int32), axis=1
         ) - 1
