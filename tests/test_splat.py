@@ -437,3 +437,52 @@ def test_fixed_eval_background_for_random_config(splat_setup):
     np.testing.assert_allclose(
         np.asarray(out["rgb"][0, 0]), [0.1490, 0.1647, 0.2157], atol=1e-5
     )
+
+
+def test_projection_grads_finite_for_collapsed_gaussian():
+    """A scale-collapsed Gaussian (det_orig underflows f32) must give FINITE
+    gradients: the naive sqrt(maximum(ratio, 0)) compensation backward was
+    ct*inf = NaN, which poisoned every geometric param (the r3 soak's 11.7k
+    immortal NaN slots)."""
+    viewmat, fx, fy, cx, cy, w, h = _simple_camera()
+    means = jnp.array([[0.0, 0.0, 2.0], [0.1, 0.0, 2.0]])
+    scales = jnp.array([[0.1, 0.1, 0.1], [1e-10, 1e-10, 1e-10]])  # collapsed
+    quats = jnp.tile(jnp.array([[1.0, 0, 0, 0]]), (2, 1))
+
+    def loss(m, s, q):
+        p = project_gaussians(m, s, q, viewmat, fx, fy, cx, cy, w, h)
+        # compensation enters the loss exactly like render_splat does
+        # (opacity * compensation), alongside the screen-space terms
+        return jnp.sum(p.compensation * 0.7) + jnp.sum(p.means2d) + jnp.sum(p.conics)
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(means, scales, quats)
+    for a in g:
+        assert np.isfinite(np.asarray(a)).all()
+    # healthy gaussian still has a live compensation gradient
+    assert np.abs(np.asarray(g[1][0])).sum() > 0
+    # and the collapsed one renders invisible (compensation == 0)
+    p = project_gaussians(means, scales, quats, viewmat, fx, fy, cx, cy, w, h)
+    assert float(p.compensation[1]) == 0.0
+    assert float(p.compensation[0]) > 0.9
+
+
+def test_refine_culls_nonfinite_slots():
+    """NaN-param slots compare False in every cull test, making them
+    immortal capacity hogs; refine must cull them explicitly."""
+    cap = 16
+    params = _refine_toy_params(cap)
+    params["means"] = params["means"].at[3].set(jnp.nan)
+    params["scales"] = params["scales"].at[5].set(jnp.inf)
+    cfg = sf.SplatfactoConfig(capacity=cap, num_random=cap)
+    state = sf.SplatState(
+        alive=jnp.ones((cap,), bool),
+        grad_accum=jnp.zeros((cap,)),
+        vis_count=jnp.ones((cap,), jnp.int32),
+        max_radii=jnp.zeros((cap,)),
+    )
+    _, new_state, info = sf.refine_gaussians(
+        jax.random.PRNGKey(0), params, state, cfg, step=1000
+    )
+    assert int(info["num_nonfinite"]) == 2
+    assert not bool(new_state.alive[3])
+    assert not bool(new_state.alive[5])

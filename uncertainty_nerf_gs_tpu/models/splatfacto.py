@@ -553,6 +553,14 @@ def refine_gaussians(
     # --- cull -------------------------------------------------------------
     opac = jax.nn.sigmoid(params["opacities"])
     cull = opac < config.cull_alpha_thresh
+    # Non-finite slots are unrenderable AND immortal under the ordinary
+    # tests (NaN comparisons are False), so they would hog capacity forever
+    # — cull them explicitly. Healthy training never trips this; it is the
+    # backstop for any future grad blow-up.
+    finite = jnp.ones((cap,), bool)
+    for v in params.values():
+        finite = finite & jnp.isfinite(v.reshape(cap, -1)).all(axis=1)
+    cull = cull | ~finite
     if step > config.refine_every * config.reset_alpha_every:
         cull = cull | (jnp.max(jnp.exp(params["scales"]), -1) > config.cull_scale_thresh * scene_extent)
         if check_screen:
@@ -564,6 +572,7 @@ def refine_gaussians(
         "num_split": jnp.sum(splits),
         "num_dup": jnp.sum(dups),
         "num_culled": jnp.sum(cull & state.alive),
+        "num_nonfinite": jnp.sum(~finite & state.alive),
         "num_dropped_capacity": dropped,
         "num_budget_capped": num_budget_capped,
         # slots whose Gaussian was replaced this refine (new children +

@@ -116,7 +116,18 @@ def project_gaussians(
     cov2d = cov2d + eps2d * jnp.eye(2)
     det = cov2d[..., 0, 0] * cov2d[..., 1, 1] - cov2d[..., 0, 1] ** 2
     det_safe = jnp.maximum(det, 1e-12)
-    compensation = jnp.sqrt(jnp.maximum(det_orig / det_safe, 0.0))
+    # Safe sqrt via double-where: a collapsed Gaussian (scales underflow ->
+    # det_orig <= 0 in f32) must yield compensation 0 with ZERO gradient.
+    # The naive sqrt(maximum(ratio, 0)) backward is ct * inf at ratio <= 0
+    # -> NaN grads to means/scales/quats/opacities (but not features_dc:
+    # exactly the poisoned-slot signature of the r3 8k splat soak, where
+    # 11.7k immortal NaN slots saturated capacity — NaN compares False so
+    # they were never culled).
+    ratio = det_orig / det_safe
+    ratio_ok = ratio > 1e-6
+    compensation = jnp.where(
+        ratio_ok, jnp.sqrt(jnp.where(ratio_ok, ratio, 1.0)), 0.0
+    )
 
     inv_det = 1.0 / det_safe
     conics = jnp.stack(
