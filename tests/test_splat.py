@@ -354,6 +354,44 @@ def test_rasterize_pallas_matches_xla(rng):
         )
 
 
+def test_rasterize_pallas_chunked_saturated(rng):
+    """Chunk boundaries + transmittance early-exit: 300 near-opaque
+    Gaussians stacked on a small image at capacity 512 crosses multiple
+    K-chunks and saturates most pixels; pallas (which SKIPS saturated
+    chunks) must still match xla (which composites all K) to fp32 noise,
+    values and grads."""
+    proj, opac, payload, w, h = _random_scene(rng, n=300, w=32, h=32)
+    opac = jnp.minimum(opac * 20.0, 0.995)  # near-opaque: deep saturation
+
+    kw = dict(capacity=512, tile_chunk=4)
+    out_x = rasterize_gaussians(proj, opac, payload, w, h, backend="xla", **kw)
+    out_p = rasterize_gaussians(proj, opac, payload, w, h, backend="pallas", **kw)
+    assert float(jnp.max(out_x.alpha)) > 0.9999  # saturation actually hit
+    np.testing.assert_allclose(
+        np.asarray(out_p.image), np.asarray(out_x.image), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_p.alpha), np.asarray(out_x.alpha), atol=2e-5
+    )
+
+    def loss(backend, mu, op):
+        out = rasterize_gaussians(
+            proj._replace(means2d=mu), op, payload, w, h, backend=backend, **kw
+        )
+        return jnp.sum(out.image**2)
+
+    gx = jax.grad(functools.partial(loss, "xla"), argnums=(0, 1))(
+        proj.means2d, opac
+    )
+    gp = jax.grad(functools.partial(loss, "pallas"), argnums=(0, 1))(
+        proj.means2d, opac
+    )
+    for a, b, name in zip(gp, gx, ("means2d", "opac")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3, err_msg=name
+        )
+
+
 def test_rasterize_sharded_matches_single(rng):
     """Tile-band sharding over the 8-device CPU mesh == single-device."""
     from uncertainty_nerf_gs_tpu.parallel.mesh import make_mesh

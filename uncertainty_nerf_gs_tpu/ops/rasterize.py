@@ -202,6 +202,9 @@ def rasterize_gaussians(
 
         idx_all, overflows = jax.lax.map(jax.vmap(select_fn), tids)
         idx_all = idx_all.reshape(pad_tiles, capacity)
+        # per-tile live rows: slots are front-packed in depth order, pad
+        # index n marks empty — the kernel's chunk loop stops at the count
+        counts = jnp.sum(idx_all < n, axis=1).astype(jnp.int32)
         # contiguous packed rows: [mu(2), conic(3), opacity, payload(C)]
         packed_src = jnp.concatenate(
             [means2d_p, conics_p, opac_p[:, None], payl_p], axis=1
@@ -214,7 +217,7 @@ def rasterize_gaussians(
         pix = pix_off[None] + jnp.stack([x0, y0], -1)[:, None, :].astype(
             jnp.float32
         )  # (T, P, 2)
-        imgs, alphas = composite_tiles(packed, pix)
+        imgs, alphas = composite_tiles(packed, pix, counts)
         imgs = imgs[:num_tiles]
         alphas = alphas[:num_tiles]
     else:

@@ -17,14 +17,24 @@ the cumprod. This is the TPU-native equivalent of gsplat's CUDA
 activesplatfacto_model.py:260-356`), still with the arbitrary multi-channel
 payload that collapses the reference's 4 launches into 1.
 
+The K axis is processed in chunks of ``_K_CHUNK`` rows with two per-tile
+exits, mirroring the CUDA rasterizer's per-pixel saturation break:
+
+  * **live count**: per-tile intersecting counts (scalar-prefetched to
+    SMEM) bound the chunk loop — a tile with 37 live Gaussians does one
+    chunk of compute, not K/_K_CHUNK;
+  * **transmittance saturation**: once the tile's max carried
+    transmittance falls below ``_EXIT_EPS`` the remaining chunks can
+    contribute at most ``_EXIT_EPS`` per weight and are skipped (both in
+    the forward and, with identical gating, in the analytic backward, so
+    the VJP is exact for the function the forward actually computes).
+
 Packed row layout (D = 6 + C): [mu_x, mu_y, conic_a, conic_b, conic_c,
 opacity, payload_0..C-1]. Dead slots have opacity 0. Runs interpreted on
 CPU (tests) and compiled on TPU.
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -83,29 +93,30 @@ def _cumprod0(x):
     return x
 
 
-def _weights(alpha):
-    """Front-to-back blend weights w_k = alpha_k * prod_{j<k}(1-alpha_j)."""
-    one_minus = jnp.maximum(1.0 - alpha, 1.0 - ALPHA_CLAMP)
-    incl = _cumprod0(one_minus)
-    trans_excl = incl / one_minus  # exclusive prefix product (factors > 0)
-    return alpha * trans_excl, trans_excl
-
-
 # tiles composited per grid step: amortizes Mosaic grid-step overhead
 # (1200 single-tile steps measured ~26 us/step flat)
 _TILES_PER_STEP = 8
 
+# K rows composited per chunk. Chunks past a tile's live count, or past
+# tile-wide transmittance saturation, are skipped entirely (the CUDA
+# rasterizer's per-pixel `T < eps` break, at tile granularity).
+_K_CHUNK = 128
+
+# Saturation exit threshold on the tile's max carried transmittance. Any
+# skipped weight is < _EXIT_EPS, far below the pallas-vs-xla parity
+# tolerance (2e-5) and float32 noise on the image.
+_EXIT_EPS = 1e-8
+
 
 # The G tiles of a grid step are walked with lax.fori_loop, NOT a static
-# Python unroll: unrolled tile bodies keep every tile's (K, P)-sized
-# intermediates (~10 of them) live simultaneously in Mosaic's scoped-vmem
-# stack — 8 x 512 x 256 x 4B x ~10 ~ 40 MB, past the 16 MB limit at the
-# bench shape (the r3 TPU OOM in the backward). The loop body reuses one
-# tile's buffers; the grid-step amortization (~26 us/step flat) is kept.
-# Even one tile's backward body peaks ~16.6 MB (the Hillis-Steele scans
-# hold log2(K) live (K, P) rounds), so the scoped-vmem limit is raised
-# from Mosaic's 16 MB default — v5e VMEM is 128 MB and the block buffers
-# are <1 MB, so 64 MB of kernel stack is safely available.
+# Python unroll: unrolled tile bodies keep every tile's chunk-sized
+# intermediates live simultaneously in Mosaic's scoped-vmem stack (the r3
+# TPU OOM in the backward). The loop body reuses one tile's buffers; the
+# chunk loop inside IS a static unroll (static slices — a traced sublane
+# slice start would be slow), with each chunk's body behind a pl.when.
+# One chunk's scans hold log2(_K_CHUNK) live (_K_CHUNK, P) rounds; the
+# scoped-vmem limit is raised from Mosaic's 16 MB default — v5e VMEM is
+# 128 MB and the block buffers are <1 MB, so 64 MB of stack is safe.
 _VMEM_LIMIT = 64 * 1024 * 1024
 
 
@@ -113,96 +124,162 @@ def _compiler_params():
     return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
 
 
-def _fwd_kernel(packed_ref, px_ref, py_ref, img_ref, alpha_ref):
+def _chunk_bounds(k: int):
+    """Static (start, size) chunk list covering K rows."""
+    out = []
+    s = 0
+    while s < k:
+        out.append((s, min(_K_CHUNK, k - s)))
+        s += _K_CHUNK
+    return out
+
+
+def _fwd_kernel(counts_ref, packed_ref, px_ref, py_ref, img_ref, alpha_ref,
+                trans_scr):
+    i = pl.program_id(0)
+    g_tiles = packed_ref.shape[0]
+    k = packed_ref.shape[1]
+    c_chan = img_ref.shape[2]
+
     def body(g, carry):
+        count = counts_ref[i * g_tiles + g]
+        img_ref[pl.ds(g, 1)] = jnp.zeros((1, P, c_chan), jnp.float32)
+        alpha_ref[pl.ds(g, 1)] = jnp.zeros((1, 1, P), jnp.float32)
+        trans_scr[...] = jnp.ones((1, P), jnp.float32)
         packed = packed_ref[pl.ds(g, 1)][0]  # (K, D)
         px = px_ref[pl.ds(g, 1)][0]  # (1, P)
         py = py_ref[pl.ds(g, 1)][0]
-        alpha = _alphas(packed, px, py)
-        w, _ = _weights(alpha)
-        pv = packed[:, 6:]  # (K, C)
-        img_ref[pl.ds(g, 1)] = jax.lax.dot_general(
-            w, pv, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )[None]  # (1, P, C)
-        # alpha laid out (T, 1, P): TPU blocks need legal trailing dims
-        alpha_ref[pl.ds(g, 1)] = jnp.sum(w, axis=0)[None, None]
+        for start, size in _chunk_bounds(k):
+            @pl.when(
+                (count > start) & (jnp.max(trans_scr[...]) > _EXIT_EPS)
+            )
+            def _chunk(start=start, size=size):
+                pk = packed[start : start + size]  # (Kc, D) static slice
+                trans = trans_scr[...]  # (1, P) carry
+                alpha = _alphas(pk, px, py)
+                one_minus = jnp.maximum(1.0 - alpha, 1.0 - ALPHA_CLAMP)
+                incl = _cumprod0(one_minus)
+                texcl = (incl / one_minus) * trans
+                w = alpha * texcl  # (Kc, P)
+                pv = pk[:, 6:]  # (Kc, C)
+                img_ref[pl.ds(g, 1)] = img_ref[pl.ds(g, 1)] + jax.lax.dot_general(
+                    w, pv, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )[None]
+                alpha_ref[pl.ds(g, 1)] = (
+                    alpha_ref[pl.ds(g, 1)] + jnp.sum(w, axis=0)[None, None]
+                )
+                trans_scr[...] = trans * incl[size - 1 : size]
+
         return carry
 
-    jax.lax.fori_loop(0, packed_ref.shape[0], body, 0)
+    jax.lax.fori_loop(0, g_tiles, body, 0)
 
 
-def _bwd_kernel(packed_ref, px_ref, py_ref, g_img_ref, g_alpha_ref, g_packed_ref):
+def _bwd_kernel(counts_ref, packed_ref, px_ref, py_ref, g_img_ref,
+                g_alpha_ref, g_packed_ref, trans_scr, acc_scr):
+    i = pl.program_id(0)
+    g_tiles = packed_ref.shape[0]
+    k = packed_ref.shape[1]
+    d = packed_ref.shape[2]
+
     def body(g, carry):
-        _bwd_tile(packed_ref, px_ref, py_ref, g_img_ref, g_alpha_ref,
-                  g_packed_ref, g)
+        count = counts_ref[i * g_tiles + g]
+        g_packed_ref[pl.ds(g, 1)] = jnp.zeros((1, k, d), jnp.float32)
+        packed = packed_ref[pl.ds(g, 1)][0]
+        px = px_ref[pl.ds(g, 1)][0]  # (1, P)
+        py = py_ref[pl.ds(g, 1)][0]
+        g_img = g_img_ref[pl.ds(g, 1)][0]  # (P, C)
+        g_alpha_out = g_alpha_ref[pl.ds(g, 1)][0, 0:1]  # (1, P)
+
+        def chunk_fwd(pk, trans):
+            """Recompute one chunk's weights from the carried trans."""
+            alpha = _alphas(pk, px, py)
+            one_minus = jnp.maximum(1.0 - alpha, 1.0 - ALPHA_CLAMP)
+            incl = _cumprod0(one_minus)
+            texcl = (incl / one_minus) * trans
+            w = alpha * texcl
+            g_w = (
+                jax.lax.dot_general(
+                    pk[:, 6:], g_img, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                + g_alpha_out
+            )  # (Kc, P): dL/dw
+            return alpha, one_minus, incl, texcl, w, g_w
+
+        # ---- pass A: total wg over all executed chunks -----------------
+        trans_scr[...] = jnp.ones((1, P), jnp.float32)
+        acc_scr[...] = jnp.zeros((1, P), jnp.float32)
+        for start, size in _chunk_bounds(k):
+            @pl.when(
+                (count > start) & (jnp.max(trans_scr[...]) > _EXIT_EPS)
+            )
+            def _pass_a(start=start, size=size):
+                pk = packed[start : start + size]
+                trans = trans_scr[...]
+                _, _, incl, _, w, g_w = chunk_fwd(pk, trans)
+                acc_scr[...] = acc_scr[...] + jnp.sum(w * g_w, axis=0)[None]
+                trans_scr[...] = trans * incl[size - 1 : size]
+
+        total = acc_scr[...]  # (1, P)
+
+        # ---- pass B: per-chunk gradients with the global prefix --------
+        trans_scr[...] = jnp.ones((1, P), jnp.float32)
+        acc_scr[...] = jnp.zeros((1, P), jnp.float32)  # prefix of wg
+        for start, size in _chunk_bounds(k):
+            @pl.when(
+                (count > start) & (jnp.max(trans_scr[...]) > _EXIT_EPS)
+            )
+            def _pass_b(start=start, size=size):
+                pk = packed[start : start + size]
+                trans = trans_scr[...]
+                alpha, one_minus, incl, texcl, w, g_w = chunk_fwd(pk, trans)
+                wg = w * g_w
+                prefix = acc_scr[...] + _cumsum0(wg)  # inclusive, global
+                suffix = total - prefix  # S_k = sum_{j>k} w_j g_w_j
+                g_a = texcl * g_w - suffix / one_minus
+                # clamp & mask gates: alpha = min(0.999, op*exp(-sigma))
+                mu_x = pk[:, 0:1]
+                mu_y = pk[:, 1:2]
+                ca = pk[:, 2:3]
+                cb = pk[:, 3:4]
+                cc = pk[:, 4:5]
+                op = pk[:, 5:6]
+                dx = px - mu_x
+                dy = py - mu_y
+                sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+                raw = op * jnp.exp(-sigma)
+                live = (sigma >= 0.0) & (raw >= ALPHA_MIN) & (raw < ALPHA_CLAMP)
+                g_a_m = jnp.where(live, g_a, 0.0)
+
+                g_op = jnp.sum(g_a_m * jnp.exp(-sigma), axis=1)  # (Kc,)
+                g_sigma = -g_a_m * raw  # (Kc, P)
+                g_ca = 0.5 * jnp.sum(g_sigma * dx * dx, axis=1)
+                g_cc = 0.5 * jnp.sum(g_sigma * dy * dy, axis=1)
+                g_cb = jnp.sum(g_sigma * dx * dy, axis=1)
+                g_mux = jnp.sum(g_sigma * -(ca * dx + cb * dy), axis=1)
+                g_muy = jnp.sum(g_sigma * -(cc * dy + cb * dx), axis=1)
+                # dL/d pv = w @ g_img
+                g_pv = jax.lax.dot_general(
+                    w, g_img, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (Kc, C)
+                g_packed_ref[pl.ds(g, 1), pl.ds(start, size)] = (
+                    jnp.concatenate(
+                        [
+                            g_mux[:, None], g_muy[:, None], g_ca[:, None],
+                            g_cb[:, None], g_cc[:, None], g_op[:, None], g_pv,
+                        ],
+                        axis=1,
+                    )[None]
+                )
+                acc_scr[...] = acc_scr[...] + jnp.sum(wg, axis=0)[None]
+                trans_scr[...] = trans * incl[size - 1 : size]
+
         return carry
 
-    jax.lax.fori_loop(0, packed_ref.shape[0], body, 0)
-
-
-def _bwd_tile(packed_ref, px_ref, py_ref, g_img_ref, g_alpha_ref,
-              g_packed_ref, g):
-    packed = packed_ref[pl.ds(g, 1)][0]
-    px = px_ref[pl.ds(g, 1)][0]  # (1, P)
-    py = py_ref[pl.ds(g, 1)][0]
-    g_img = g_img_ref[pl.ds(g, 1)][0]  # (P, C)
-    g_alpha_out = g_alpha_ref[pl.ds(g, 1)][0, 0:1]  # (1, P)
-    pv = packed[:, 6:]
-
-    alpha = _alphas(packed, px, py)
-    w, trans_excl = _weights(alpha)
-
-    # dL/dw_kp = pv_k . g_img_p + g_alpha_p
-    g_w = (
-        jax.lax.dot_general(
-            pv, g_img, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        + g_alpha_out
-    )  # (K, P)
-    # dL/d pv = w @ g_img
-    g_pv = jax.lax.dot_general(
-        w, g_img, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (K, C)
-
-    # dL/d alpha_k = T_k g_w_k - S_k / (1 - alpha_k),  S_k = sum_{j>k} w_j g_w_j
-    wg = w * g_w
-    # exclusive suffix sum as total - inclusive prefix (no reverse-gather,
-    # which Mosaic can't lower)
-    suffix = jnp.sum(wg, axis=0, keepdims=True) - _cumsum0(wg)
-    one_minus = jnp.maximum(1.0 - alpha, 1.0 - ALPHA_CLAMP)
-    g_a = trans_excl * g_w - suffix / one_minus
-    # clamp & mask gates: alpha = min(0.999, op*exp(-sigma)) where live
-    mu_x = packed[:, 0:1]
-    mu_y = packed[:, 1:2]
-    ca = packed[:, 2:3]
-    cb = packed[:, 3:4]
-    cc = packed[:, 4:5]
-    op = packed[:, 5:6]
-    dx = px - mu_x
-    dy = py - mu_y
-    sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
-    raw = op * jnp.exp(-sigma)
-    live = (sigma >= 0.0) & (raw >= ALPHA_MIN) & (raw < ALPHA_CLAMP)
-    g_a = jnp.where(live, g_a, 0.0)
-
-    # alpha = op * exp(-sigma)
-    g_op = jnp.sum(g_a * jnp.exp(-sigma), axis=1)  # (K,)
-    g_sigma = -g_a * raw  # (K, P)
-    g_ca = 0.5 * jnp.sum(g_sigma * dx * dx, axis=1)
-    g_cc = 0.5 * jnp.sum(g_sigma * dy * dy, axis=1)
-    g_cb = jnp.sum(g_sigma * dx * dy, axis=1)
-    # sigma wrt mu: d sigma/d mu_x = -(ca dx + cb dy); d/d mu_y = -(cc dy + cb dx)
-    g_mux = jnp.sum(g_sigma * -(ca * dx + cb * dy), axis=1)
-    g_muy = jnp.sum(g_sigma * -(cc * dy + cb * dx), axis=1)
-
-    g_packed_ref[pl.ds(g, 1)] = jnp.concatenate(
-        [
-            g_mux[:, None], g_muy[:, None], g_ca[:, None], g_cb[:, None],
-            g_cc[:, None], g_op[:, None], g_pv,
-        ],
-        axis=1,
-    )[None]
+    jax.lax.fori_loop(0, g_tiles, body, 0)
 
 
 def _pad_tiles(arrs, t):
@@ -214,56 +291,70 @@ def _pad_tiles(arrs, t):
     ], t + pad
 
 
-def _fwd_call(packed: jax.Array, px: jax.Array, py: jax.Array):
+def _fwd_call(packed: jax.Array, px: jax.Array, py: jax.Array,
+              counts: jax.Array):
     t0, k, d = packed.shape
     c = d - 6
-    (packed, px, py), t = _pad_tiles([packed, px, py], t0)
+    (packed, px, py, counts), t = _pad_tiles([packed, px, py, counts], t0)
     G = _TILES_PER_STEP
-    img, alpha = pl.pallas_call(
-        _fwd_kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(t // G,),
         in_specs=[
-            pl.BlockSpec((G, k, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, 1, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, 1, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, k, d), lambda i, _c: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 1, P), lambda i, _c: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 1, P), lambda i, _c: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((G, P, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, 1, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, P, c), lambda i, _c: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 1, P), lambda i, _c: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
+        scratch_shapes=[pltpu.VMEM((1, P), jnp.float32)],
+    )
+    img, alpha = pl.pallas_call(
+        _fwd_kernel,
+        grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((t, P, c), jnp.float32),
             jax.ShapeDtypeStruct((t, 1, P), jnp.float32),
         ],
         interpret=_interpret(),
         compiler_params=None if _interpret() else _compiler_params(),
-    )(packed, px, py)
+    )(counts, packed, px, py)
     return img[:t0], alpha[:t0]
 
 
-def _bwd_call(packed, px, py, g_img, g_alpha):
+def _bwd_call(packed, px, py, counts, g_img, g_alpha):
     t0, k, d = packed.shape
-    (packed, px, py, g_img, g_alpha), t = _pad_tiles(
-        [packed, px, py, g_img, g_alpha], t0
+    (packed, px, py, counts, g_img, g_alpha), t = _pad_tiles(
+        [packed, px, py, counts, g_img, g_alpha], t0
     )
     G = _TILES_PER_STEP
-    return pl.pallas_call(
-        _bwd_kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(t // G,),
         in_specs=[
-            pl.BlockSpec((G, k, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, 1, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, 1, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, P, d - 6), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, 1, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, k, d), lambda i, _c: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 1, P), lambda i, _c: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 1, P), lambda i, _c: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, P, d - 6), lambda i, _c: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 1, P), lambda i, _c: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((G, k, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, k, d), lambda i, _c: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
+        scratch_shapes=[
+            pltpu.VMEM((1, P), jnp.float32),
+            pltpu.VMEM((1, P), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        _bwd_kernel,
+        grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((t, k, d), jnp.float32)],
         interpret=_interpret(),
         compiler_params=None if _interpret() else _compiler_params(),
-    )(packed, px, py, g_img, g_alpha)[0][:t0]
+    )(counts, packed, px, py, g_img, g_alpha)[0][:t0]
 
 
 def _split_pix(pix):
@@ -275,32 +366,34 @@ def _split_pix(pix):
 
 
 @jax.custom_vjp
-def composite_tiles(packed: jax.Array, pix: jax.Array):
+def composite_tiles(packed: jax.Array, pix: jax.Array, counts: jax.Array):
     """Composite packed per-tile Gaussians.
 
     Args:
       packed: (T, K, 6+C) per-tile depth-sorted rows (see module docstring).
       pix: (T, P, 2) pixel-center coordinates per tile.
+      counts: (T,) int32 live rows per tile (rows past it must be dead,
+        i.e. opacity 0 — they are skipped, not masked).
 
     Returns:
       (tile_images (T, P, C), tile_alphas (T, P)).
     """
     px, py = _split_pix(pix)
-    img, alpha = _fwd_call(packed, px, py)
+    img, alpha = _fwd_call(packed, px, py, counts)
     return img, alpha[:, 0, :]
 
 
-def _composite_fwd(packed, pix):
+def _composite_fwd(packed, pix, counts):
     px, py = _split_pix(pix)
-    img, alpha = _fwd_call(packed, px, py)
-    return (img, alpha[:, 0, :]), (packed, px, py)
+    img, alpha = _fwd_call(packed, px, py, counts)
+    return (img, alpha[:, 0, :]), (packed, px, py, counts)
 
 
 def _composite_bwd(res, cts):
-    packed, px, py = res
+    packed, px, py, counts = res
     g_img, g_alpha = cts
-    g_packed = _bwd_call(packed, px, py, g_img, g_alpha[:, None, :])
-    return g_packed, None
+    g_packed = _bwd_call(packed, px, py, counts, g_img, g_alpha[:, None, :])
+    return g_packed, None, None
 
 
 composite_tiles.defvjp(_composite_fwd, _composite_bwd)
