@@ -141,6 +141,25 @@ def build_render_fn(trainer, spec, eval_cameras, run_dir: Path,
 
         return render
 
+    chunk_fn = build_chunk_render_fn(
+        trainer, spec, run_dir, mc_samples=mc_samples,
+        laplace_iters=laplace_iters, laplace_samples=laplace_samples,
+        prior_prec=prior_prec, seed=seed,
+    )
+    return _nerfacto_full_image_renderer(trainer, chunk_fn, eval_cameras)
+
+
+def build_chunk_render_fn(trainer, spec, run_dir: Path,
+                          mc_samples: int = 10, laplace_iters: int = 300,
+                          laplace_samples: int = 100, prior_prec: float = 1.0,
+                          seed: int = 0):
+    """Per-method jitted predictive chunk renderer ``rb -> outputs`` for the
+    nerfacto family (the reusable core of :func:`build_render_fn`; the
+    interactive viewer renders arbitrary poses through it). Splat methods
+    render whole frames, not ray chunks — use `render_splat` directly."""
+    if spec.family == "splatfacto":
+        raise ValueError("splatfacto renders frames, not ray chunks")
+
     model, params = trainer.model, trainer.state.params
     model_params = {k: v for k, v in params.items() if k != "camera_opt"}
     key = jax.random.PRNGKey(seed + 7)
@@ -155,7 +174,7 @@ def build_render_fn(trainer, spec, eval_cameras, run_dir: Path,
         def chunk_fn(rb):
             return mc_dropout_render(model, model_params, rb, m, key)
 
-        return _nerfacto_full_image_renderer(trainer, chunk_fn, eval_cameras)
+        return chunk_fn
 
     if spec.laplace:
         from uncertainty_nerf_gs_tpu.models.laplace import fit_laplace, laplace_render
@@ -208,7 +227,7 @@ def build_render_fn(trainer, spec, eval_cameras, run_dir: Path,
                 n_samples=laplace_samples, prior_prec=prior_prec,
             )
 
-        return _nerfacto_full_image_renderer(trainer, chunk_fn, eval_cameras)
+        return chunk_fn
 
     # active-nerfacto / plain nerfacto: direct forward
     @jax.jit
@@ -217,7 +236,7 @@ def build_render_fn(trainer, spec, eval_cameras, run_dir: Path,
             {"params": model_params}, rb, train=False, use_average_appearance=True
         )
 
-    return _nerfacto_full_image_renderer(trainer, chunk_fn, eval_cameras)
+    return chunk_fn
 
 
 def build_ensemble_render_fn(
