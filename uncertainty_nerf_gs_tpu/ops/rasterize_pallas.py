@@ -146,7 +146,6 @@ def _fwd_kernel(counts_ref, packed_ref, px_ref, py_ref, img_ref, alpha_ref,
         img_ref[pl.ds(g, 1)] = jnp.zeros((1, P, c_chan), jnp.float32)
         alpha_ref[pl.ds(g, 1)] = jnp.zeros((1, 1, P), jnp.float32)
         trans_scr[...] = jnp.ones((1, P), jnp.float32)
-        packed = packed_ref[pl.ds(g, 1)][0]  # (K, D)
         px = px_ref[pl.ds(g, 1)][0]  # (1, P)
         py = py_ref[pl.ds(g, 1)][0]
         for start, size in _chunk_bounds(k):
@@ -154,7 +153,9 @@ def _fwd_kernel(counts_ref, packed_ref, px_ref, py_ref, img_ref, alpha_ref,
                 (count > start) & (jnp.max(trans_scr[...]) > _EXIT_EPS)
             )
             def _chunk(start=start, size=size):
-                pk = packed[start : start + size]  # (Kc, D) static slice
+                # read only this chunk's rows (static start; full-K value
+                # reads would hold (K, D) live in vregs across the unroll)
+                pk = packed_ref[pl.ds(g, 1), pl.ds(start, size)][0]
                 trans = trans_scr[...]  # (1, P) carry
                 alpha = _alphas(pk, px, py)
                 one_minus = jnp.maximum(1.0 - alpha, 1.0 - ALPHA_CLAMP)
@@ -186,7 +187,6 @@ def _bwd_kernel(counts_ref, packed_ref, px_ref, py_ref, g_img_ref,
     def body(g, carry):
         count = counts_ref[i * g_tiles + g]
         g_packed_ref[pl.ds(g, 1)] = jnp.zeros((1, k, d), jnp.float32)
-        packed = packed_ref[pl.ds(g, 1)][0]
         px = px_ref[pl.ds(g, 1)][0]  # (1, P)
         py = py_ref[pl.ds(g, 1)][0]
         g_img = g_img_ref[pl.ds(g, 1)][0]  # (P, C)
@@ -216,7 +216,7 @@ def _bwd_kernel(counts_ref, packed_ref, px_ref, py_ref, g_img_ref,
                 (count > start) & (jnp.max(trans_scr[...]) > _EXIT_EPS)
             )
             def _pass_a(start=start, size=size):
-                pk = packed[start : start + size]
+                pk = packed_ref[pl.ds(g, 1), pl.ds(start, size)][0]
                 trans = trans_scr[...]
                 _, _, incl, _, w, g_w = chunk_fwd(pk, trans)
                 acc_scr[...] = acc_scr[...] + jnp.sum(w * g_w, axis=0)[None]
@@ -232,7 +232,7 @@ def _bwd_kernel(counts_ref, packed_ref, px_ref, py_ref, g_img_ref,
                 (count > start) & (jnp.max(trans_scr[...]) > _EXIT_EPS)
             )
             def _pass_b(start=start, size=size):
-                pk = packed[start : start + size]
+                pk = packed_ref[pl.ds(g, 1), pl.ds(start, size)][0]
                 trans = trans_scr[...]
                 alpha, one_minus, incl, texcl, w, g_w = chunk_fwd(pk, trans)
                 wg = w * g_w
