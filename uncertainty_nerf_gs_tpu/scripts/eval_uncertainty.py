@@ -108,14 +108,11 @@ def _nerfacto_full_image_renderer(trainer, render_chunk_fn, eval_cameras):
                 if k.startswith(("weights", "sdist")) or k == "density_mean":
                     continue
                 outs.setdefault(k, []).append(np.asarray(v))
-        return {
-            k: jnp.asarray(
-                np.concatenate(v, 0)[:total].reshape(
-                    (h, w) + np.concatenate(v, 0).shape[1:]
-                )
-            )
-            for k, v in outs.items()
-        }
+        result = {}
+        for k, v in outs.items():
+            arr = np.concatenate(v, 0)
+            result[k] = jnp.asarray(arr[:total].reshape((h, w) + arr.shape[1:]))
+        return result
 
     return render
 

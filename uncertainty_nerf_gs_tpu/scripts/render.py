@@ -26,6 +26,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from uncertainty_nerf_gs_tpu.cameras.cameras import Cameras
+from uncertainty_nerf_gs_tpu.utils.images import colorize as _colorize
+from uncertainty_nerf_gs_tpu.utils.images import to_u8 as _to_u8
 
 
 def _look_at(origin: np.ndarray, target: np.ndarray, up=(0.0, 0.0, 1.0)):
@@ -75,19 +77,6 @@ def interpolate_path(cameras: Cameras, num_frames: int) -> np.ndarray:
     return np.stack(frames)
 
 
-def _to_u8(img: np.ndarray) -> np.ndarray:
-    return (np.clip(np.asarray(img), 0, 1) * 255).astype(np.uint8)
-
-
-def _colorize(x: np.ndarray) -> np.ndarray:
-    """Normalized scalar map -> u8 rgb via matplotlib jet (reference's std
-    map colormap, `eval_uncertainty.py:209-301`)."""
-    import matplotlib.cm as cm
-
-    x = np.asarray(x, np.float32)
-    lo, hi = float(x.min()), float(x.max())
-    x = (x - lo) / max(hi - lo, 1e-12)
-    return (cm.jet(x)[..., :3] * 255).astype(np.uint8)
 
 
 def main(argv: list[str] | None = None) -> Path:

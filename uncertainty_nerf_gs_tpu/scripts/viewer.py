@@ -10,14 +10,16 @@ websocket viewer; this is a dependency-free re-design — a stdlib
 render paths the eval CLI uses (`build_chunk_render_fn` for the nerfacto
 family, `render_splat` for splats), plus a self-contained HTML/JS orbit UI
 (camera math mirrors `scripts/render.py::_look_at`). Channels: rgb, depth,
-and the method's uncertainty std map (jet-colorized like the reference's
-eval artifacts, `eval_uncertainty.py:209-301`).
+and the method's uncertainty std map, jet-colorized inside a window FROZEN
+at the first render of each mode — the eval artifacts' fixed
+``unc_min``/``unc_max`` semantics (`eval_uncertainty.py:209-301`), so a
+given std value keeps its color across poses.
 
 Usage:
     ut-viewer --load-config outputs/run1 [--port 7007] [--downscale 4]
 
-Then open http://localhost:7007 — drag to orbit, wheel to zoom, right-drag
-to pan, buttons to switch rgb/depth/std.
+Then open http://localhost:7007 — drag to orbit, wheel to zoom, buttons to
+switch rgb/depth/std.
 """
 
 from __future__ import annotations
@@ -33,29 +35,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from uncertainty_nerf_gs_tpu.cameras.cameras import (
-    Cameras,
-    generate_rays,
-    pixel_grid,
-)
+from uncertainty_nerf_gs_tpu.cameras.cameras import Cameras
+
+from uncertainty_nerf_gs_tpu.utils.images import colorize, to_u8
 
 _STD_KEYS = ("rgb_std", "uncertainty")  # nerfacto-family / active-splat
-
-
-def _colorize(x: np.ndarray) -> np.ndarray:
-    """Scalar map -> u8 rgb, matplotlib jet (reference std-map colormap)."""
-    import matplotlib.cm as cm
-
-    x = np.asarray(x, np.float32)
-    if x.ndim == 3:  # channel std maps: reduce to per-pixel mean
-        x = x.mean(-1)
-    lo, hi = float(np.nanmin(x)), float(np.nanmax(x))
-    x = (x - lo) / max(hi - lo, 1e-12)
-    return (cm.jet(x)[..., :3] * 255).astype(np.uint8)
-
-
-def _to_u8(img: np.ndarray) -> np.ndarray:
-    return (np.clip(np.asarray(img), 0, 1) * 255).astype(np.uint8)
 
 
 class ViewerState:
@@ -85,6 +69,7 @@ class ViewerState:
         self.cx = self.width / 2.0
         self.cy = self.height / 2.0
         self.lock = threading.Lock()
+        self._windows: dict[str, tuple[float, float]] = {}
 
         if self.spec.family == "splatfacto":
             self.chunk_fn = None
@@ -136,42 +121,38 @@ class ViewerState:
                     k: np.asarray(v) for k, v in out.items()
                     if k not in ("radii", "visible")
                 }
+            from uncertainty_nerf_gs_tpu.scripts.eval_uncertainty import (
+                _nerfacto_full_image_renderer,
+            )
+
             cams = Cameras(
                 camera_to_worlds=c2w[None],
                 fx=jnp.array([self.fx]), fy=jnp.array([self.fy]),
                 cx=jnp.array([self.cx]), cy=jnp.array([self.cy]),
                 width=self.width, height=self.height,
             )
-            h, w = self.height, self.width
-            chunk = self.trainer.config.eval_num_rays_per_chunk
-            px, py = pixel_grid(h, w)
-            total = h * w
-            pad = (-total) % chunk
-            px = jnp.concatenate([px, jnp.zeros((pad,))])
-            py = jnp.concatenate([py, jnp.zeros((pad,))])
-            idx = jnp.zeros((total + pad,), jnp.int32)
-            outs: dict[str, list] = {}
-            for s in range(0, total + pad, chunk):
-                rb = generate_rays(
-                    cams, idx[s:s + chunk], px[s:s + chunk], py[s:s + chunk]
-                )
-                for k, v in self.chunk_fn(rb).items():
-                    if k.startswith(("weights", "sdist")) or k == "density_mean":
-                        continue
-                    outs.setdefault(k, []).append(np.asarray(v))
-            return {
-                k: np.concatenate(v, 0)[:total].reshape(
-                    (h, w) + np.concatenate(v, 0).shape[1:]
-                )
-                for k, v in outs.items()
-            }
+            render = _nerfacto_full_image_renderer(
+                self.trainer, self.chunk_fn, cams
+            )
+            return {k: np.asarray(v) for k, v in render(0).items()}
 
     def render_png(self, c2w: np.ndarray, mode: str) -> bytes:
         outs = self.render_pose(c2w)
         if mode not in outs:
             raise KeyError(f"mode {mode!r} not in {sorted(outs)}")
         arr = outs[mode]
-        img = _to_u8(arr) if mode == "rgb" else _colorize(arr)
+        if mode == "rgb":
+            img = to_u8(arr)
+        else:
+            # freeze the colormap window at the first render of each mode
+            # (fixed unc_min/unc_max semantics: stable colors across poses)
+            win = self._windows.get(mode)
+            if win is None:
+                x = np.asarray(arr, np.float32)
+                x = x.mean(-1) if x.ndim == 3 else x
+                win = (float(np.nanmin(x)), float(np.nanmax(x)))
+                self._windows[mode] = win
+            img = colorize(arr, lo=win[0], hi=win[1])
         from PIL import Image
 
         buf = io.BytesIO()
@@ -228,7 +209,9 @@ async function refresh(){
     headers:{"content-type":"application/json"},
     body:JSON.stringify({c2w:c2w(),mode:mode})});
   const b=await r.blob();
-  document.getElementById("view").src=URL.createObjectURL(b);
+  const v=document.getElementById("view");
+  if(v.src) URL.revokeObjectURL(v.src);
+  v.src=URL.createObjectURL(b);
   document.getElementById("stat").textContent=
     mode+" · "+((performance.now()-t0)|0)+" ms";
   busy=false; if(dirty){dirty=false; refresh();}
@@ -290,13 +273,13 @@ def make_handler(state: ViewerState):
             if self.path != "/render":
                 self._send(404, b"not found", "text/plain")
                 return
-            n = int(self.headers.get("content-length", 0))
-            req = json.loads(self.rfile.read(n) or b"{}")
             try:
+                n = int(self.headers.get("content-length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
                 c2w = np.asarray(req["c2w"], np.float32).reshape(3, 4)
                 png = state.render_png(c2w, req.get("mode", "rgb"))
-            except (KeyError, ValueError) as e:
-                self._send(400, str(e).encode(), "text/plain")
+            except Exception as e:  # malformed body/pose/mode -> 400, not a
+                self._send(400, str(e).encode(), "text/plain")  # dead socket
                 return
             self._send(200, png, "image/png")
 
