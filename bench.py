@@ -156,7 +156,32 @@ def bench_rasterizer() -> dict:
     }
 
 
+def _probe_device(timeout_sec: int = 600) -> bool:
+    """Bounded device probe: the axon tunnel, when wedged, blocks the first
+    launch indefinitely (r3: relay died mid-round and every TPU call hung
+    forever). A hung bench is worse than a failed one — probe in a daemon
+    thread and give up after ``timeout_sec``."""
+    import threading
+
+    ok = []
+
+    def probe():
+        ok.append(float(jnp.ones((8, 128)).sum()) == 1024.0)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_sec)
+    return bool(ok and ok[0])
+
+
 def main() -> None:
+    if not _probe_device():
+        print(json.dumps({
+            "metric": "ensemble5_mean_var_render_throughput",
+            "value": None, "unit": "rays/sec", "vs_baseline": None,
+            "error": "device unreachable (axon tunnel down) — probe timed out",
+        }))
+        return
     print(json.dumps(bench_ensemble_render()))
     try:
         print(json.dumps(bench_rasterizer()))
