@@ -89,6 +89,29 @@ def test_viewer_http_roundtrip(nerfacto_run):
         server.shutdown()
 
 
+def test_viewer_state_ensemble(tiny_blender, tmp_path):  # noqa: F811
+    """M run dirs -> combined ensemble render with epi/alea modes."""
+    from uncertainty_nerf_gs_tpu.scripts.viewer import ViewerState
+
+    runs = []
+    for seed_tag in ("a", "b"):
+        d = _train(
+            "active-nerfacto", tiny_blender, tmp_path / seed_tag,
+            TINY_OVERRIDES, iters=4,
+        )
+        runs.append(d)
+    state = ViewerState(runs, downscale=2)
+    info = state.info()
+    assert info["num_members"] == 2
+    assert "rgb_var_epi" in info["modes"]
+    outs = state.render_pose(_orbit_pose(info["center"], info["radius"]))
+    assert outs["rgb"].shape == (info["height"], info["width"], 3)
+    assert np.isfinite(outs["rgb_var_epi"]).all()
+    assert state.render_png(
+        _orbit_pose(info["center"], info["radius"]), "rgb_var_epi"
+    )[:4] == b"\x89PNG"
+
+
 def test_viewer_state_splat(tiny_blender, tmp_path):  # noqa: F811
     from uncertainty_nerf_gs_tpu.scripts.viewer import ViewerState
 

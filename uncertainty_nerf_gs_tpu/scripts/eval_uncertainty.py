@@ -257,25 +257,9 @@ def build_ensemble_render_fn(
     eval_outputs, eval_images = _eval_cameras_and_images(run_cfg)
 
     if spec.family == "splatfacto":
-        # capacity is static and alive is a mask, so member params stack and
-        # the fan-out is ONE jitted launch (VERDICT r2 #7)
-        from uncertainty_nerf_gs_tpu.models import splatfacto as _sf
-        from uncertainty_nerf_gs_tpu.models.ensemble import (
-            ensemble_render_splat,
-            stack_params,
+        render_cam = build_ensemble_splat_render_cam(
+            trainers, eval_outputs.cameras.width, eval_outputs.cameras.height
         )
-
-        stacked_p = stack_params([t.params for t in trainers])
-        stacked_alive = jnp.stack([t.splat_state.alive for t in trainers])
-        cfg0 = trainers[0].config
-
-        @jax.jit
-        def render_cam(c2w, fx, fy, cx, cy):
-            return ensemble_render_splat(
-                stacked_p, stacked_alive, c2w, fx, fy, cx, cy,
-                eval_outputs.cameras.width, eval_outputs.cameras.height,
-                cfg0, background=_sf.fixed_background(cfg0),
-            )
 
         def render(i: int):
             cam = jax.tree.map(lambda x: x[i], eval_outputs.cameras)
@@ -285,8 +269,45 @@ def build_ensemble_render_fn(
 
         return render, eval_outputs, eval_images
 
-    from uncertainty_nerf_gs_tpu.models.ensemble import stack_params, ensemble_render
+    chunk_fn = build_ensemble_chunk_fn(trainers, main_stride_scale)
+    render = _nerfacto_full_image_renderer(base, chunk_fn, eval_outputs.cameras)
+    return render, eval_outputs, eval_images
 
+
+def build_ensemble_splat_render_cam(trainers, width: int, height: int):
+    """Single-launch M-member splat ensemble, pose-parameterized:
+    ``render_cam(c2w, fx, fy, cx, cy) -> combined outputs``. Capacity is
+    static and alive is a mask, so member params stack and the fan-out is
+    ONE jitted launch (VERDICT r2 #7)."""
+    from uncertainty_nerf_gs_tpu.models import splatfacto as _sf
+    from uncertainty_nerf_gs_tpu.models.ensemble import (
+        ensemble_render_splat,
+        stack_params,
+    )
+
+    stacked_p = stack_params([t.params for t in trainers])
+    stacked_alive = jnp.stack([t.splat_state.alive for t in trainers])
+    cfg0 = trainers[0].config
+
+    @jax.jit
+    def render_cam(c2w, fx, fy, cx, cy):
+        return ensemble_render_splat(
+            stacked_p, stacked_alive, c2w, fx, fy, cx, cy,
+            width, height, cfg0, background=_sf.fixed_background(cfg0),
+        )
+
+    return render_cam
+
+
+def build_ensemble_chunk_fn(trainers, main_stride_scale: float = 0.0):
+    """nerfacto-family ensemble chunk renderer ``rb -> combined outputs``
+    (fused shared-gather path when the layout supports it)."""
+    from uncertainty_nerf_gs_tpu.models.ensemble import (
+        ensemble_render,
+        stack_params,
+    )
+
+    base = trainers[0]
     stacked = stack_params(
         [
             {k: v for k, v in t.state.params.items() if k != "camera_opt"}
@@ -314,8 +335,7 @@ def build_ensemble_render_fn(
         def chunk_fn(rb):
             return ensemble_render(base.model, stacked, rb)
 
-    render = _nerfacto_full_image_renderer(base, chunk_fn, eval_outputs.cameras)
-    return render, eval_outputs, eval_images
+    return chunk_fn
 
 
 def main(argv: list[str] | None = None) -> dict:

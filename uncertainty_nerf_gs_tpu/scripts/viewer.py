@@ -47,16 +47,24 @@ class ViewerState:
     predictive path. Thread-safe via a render lock (XLA launches are
     serialized anyway on one chip)."""
 
-    def __init__(self, run_dir: Path, downscale: int = 4,
+    def __init__(self, run_dir: Path | list[Path], downscale: int = 4,
                  mc_samples: int = 10, laplace_samples: int = 20):
         from uncertainty_nerf_gs_tpu.scripts.eval_uncertainty import (
             _eval_cameras_and_images,
             _load_run,
             build_chunk_render_fn,
+            build_ensemble_chunk_fn,
+            build_ensemble_splat_render_cam,
         )
 
-        self.run_dir = Path(run_dir)
-        self.trainer, self.spec, run_cfg, self.step = _load_run(self.run_dir)
+        run_dirs = [Path(d) for d in (
+            run_dir if isinstance(run_dir, (list, tuple)) else [run_dir]
+        )]
+        self.run_dir = run_dirs[0]
+        loaded = [_load_run(d) for d in run_dirs]
+        trainers = [t for t, _, _, _ in loaded]
+        self.trainer, self.spec, run_cfg, self.step = loaded[0]
+        self.num_members = len(trainers)
         eval_outputs, _ = _eval_cameras_and_images(run_cfg)
         base = eval_outputs.cameras
         self.base_cameras = base
@@ -71,9 +79,16 @@ class ViewerState:
         self.lock = threading.Lock()
         self._windows: dict[str, tuple[float, float]] = {}
 
-        if self.spec.family == "splatfacto":
-            self.chunk_fn = None
-        else:
+        self._splat_render_cam = None
+        self.chunk_fn = None
+        if self.num_members > 1:  # eval-time deep ensemble (M run dirs)
+            if self.spec.family == "splatfacto":
+                self._splat_render_cam = build_ensemble_splat_render_cam(
+                    trainers, self.width, self.height
+                )
+            else:
+                self.chunk_fn = build_ensemble_chunk_fn(trainers)
+        elif self.spec.family != "splatfacto":
             self.chunk_fn = build_chunk_render_fn(
                 self.trainer, self.spec, self.run_dir,
                 mc_samples=mc_samples, laplace_samples=laplace_samples,
@@ -100,6 +115,8 @@ class ViewerState:
             base.camera_to_worlds[0], np.float32))
         self.modes = ["rgb"] + (["depth"] if "depth" in probe else []) + [
             k for k in _STD_KEYS if k in probe
+        ] + [  # ensemble decomposition: epistemic vs aleatoric variance
+            k for k in ("rgb_var_epi", "rgb_var_alea") if k in probe
         ]
 
     # ---- rendering ------------------------------------------------------
@@ -107,6 +124,12 @@ class ViewerState:
         """Render one frame at an OpenGL (3, 4) camera-to-world pose."""
         c2w = jnp.asarray(c2w, jnp.float32)
         with self.lock:
+            if self._splat_render_cam is not None:  # splat ensemble
+                out = self._splat_render_cam(
+                    c2w, jnp.float32(self.fx), jnp.float32(self.fy),
+                    jnp.float32(self.cx), jnp.float32(self.cy),
+                )
+                return {k: np.asarray(v) for k, v in out.items()}
             if self.spec.family == "splatfacto":
                 from uncertainty_nerf_gs_tpu.models import splatfacto as sf
 
@@ -162,6 +185,7 @@ class ViewerState:
     def info(self) -> dict:
         return {
             "method": self.spec.name,
+            "num_members": self.num_members,
             "step": self.step,
             "width": self.width,
             "height": self.height,
@@ -293,7 +317,9 @@ def serve(state: ViewerState, host: str = "127.0.0.1", port: int = 7007):
 
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(description="interactive run viewer")
-    ap.add_argument("--load-config", required=True, help="trained run dir")
+    ap.add_argument("--load-config", action="append", required=True,
+                    help="trained run dir (repeat for an eval-time "
+                         "ensemble: combined mean + epi/alea std modes)")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=7007)
     ap.add_argument("--downscale", type=int, default=4,
@@ -302,7 +328,8 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--laplace-samples", type=int, default=20)
     args = ap.parse_args(argv)
 
-    state = ViewerState(Path(args.load_config), downscale=args.downscale,
+    state = ViewerState([Path(d) for d in args.load_config],
+                        downscale=args.downscale,
                         mc_samples=args.mc_samples,
                         laplace_samples=args.laplace_samples)
     server = serve(state, args.host, args.port)
