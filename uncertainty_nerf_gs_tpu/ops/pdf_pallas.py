@@ -128,7 +128,9 @@ def invert_cdf_tpu(cdf: jax.Array, s_edges: jax.Array, u: jax.Array) -> jax.Arra
 
 
 def _interpret() -> bool:
-    return jax.default_backend() not in ("tpu", "axon")
+    from uncertainty_nerf_gs_tpu.ops.backend import on_tpu
+
+    return not on_tpu()
 
 
 def _resample_kernel(w_ref, edges_ref, u_ref, out_ref, *, hist_pad, eps):

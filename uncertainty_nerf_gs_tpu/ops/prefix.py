@@ -73,7 +73,9 @@ def cumsum_lanes(x: jax.Array) -> jax.Array:
     Integer inputs round-trip through f32 (exact below 2^24 — asserted
     nowhere, callers guarantee it: rasterizer counts are <= table sizes).
     """
-    if jax.default_backend() not in ("tpu", "axon") or x.shape[-1] < 16:
+    from uncertainty_nerf_gs_tpu.ops.backend import on_tpu
+
+    if not on_tpu() or x.shape[-1] < 16:
         return jnp.cumsum(x, axis=-1)
     if jnp.issubdtype(x.dtype, jnp.integer) or x.dtype == jnp.bool_:
         return cumsum_lanes_f32(x.astype(jnp.float32)).astype(

@@ -75,7 +75,9 @@ def rasterize_gaussians(
     TPU.
     """
     if backend == "auto":
-        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+        from uncertainty_nerf_gs_tpu.ops.backend import on_tpu
+
+        backend = "pallas" if on_tpu() else "xla"
     n = proj.means2d.shape[0]
     num_tx = _pad_to_multiple(width, TILE) // TILE
     num_ty = _pad_to_multiple(height, TILE) // TILE

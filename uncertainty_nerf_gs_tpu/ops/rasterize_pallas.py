@@ -47,7 +47,9 @@ P = TILE * TILE  # pixels per tile
 
 
 def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
+    from uncertainty_nerf_gs_tpu.ops.backend import on_tpu
+
+    return not on_tpu()
 
 
 def _alphas(packed, px, py):
