@@ -18,6 +18,7 @@ from typing import Callable, NamedTuple
 import jax
 import jax.numpy as jnp
 
+from uncertainty_nerf_gs_tpu.ops.backend import on_tpu
 from uncertainty_nerf_gs_tpu.ops.prefix import cumsum_lanes
 
 
@@ -162,9 +163,9 @@ def sample_pdf(
     # lane-major bin axis. Gradients never flow through the sampler in the
     # nerfacto training path (weights are stop-gradient'ed), and the Pallas
     # path stops them explicitly.
-    # pltpu kernels lower only on TPU backends ("tpu", or the "axon"
-    # remote-TPU tunnel); GPU/other accelerators take the XLA path (ADVICE r2).
-    if jax.default_backend() in ("tpu", "axon"):
+    # pltpu kernels lower only on TPU backends; GPU/other accelerators take
+    # the XLA path (ADVICE r2; dispatch helper: ops/backend.py).
+    if on_tpu():
         from uncertainty_nerf_gs_tpu.ops.pdf_pallas import resample_edges_tpu
 
         new_edges = resample_edges_tpu(
