@@ -378,6 +378,41 @@ def test_fused_render_bf16_tables_close_to_f32(rng):
     assert float(jnp.abs(o32["rgb"] - o16["rgb"]).max()) < 0.02
 
 
+def test_fused_render_int8_tables_close_to_f32(rng):
+    """int8-quantized eval tables (per-level scale folded into the trilerp
+    weights — the 2.8x-faster gather path) must render close to f32."""
+    cfg = _tiny_config(uncertainty_channels=1)
+    model = NerfactoModel(cfg)
+    rb = _bundle(rng)
+    stacked = init_ensemble_params(model, 2)
+    p32 = pack_ensemble_tables(model, stacked)
+    p8 = pack_ensemble_tables(model, stacked, table_dtype=jnp.int8)
+    assert isinstance(p8["field"], dict) and p8["field"]["tables"].dtype == jnp.int8
+    render = build_fused_ensemble_render(model)
+    o32 = render(stacked, p32, rb)
+    o8 = render(stacked, p8, rb)
+    assert float(jnp.abs(o32["rgb"] - o8["rgb"]).max()) < 0.05
+    assert float(jnp.abs(o32["depth"] - o8["depth"]).max()) < 0.2
+
+
+def test_fused_render_int8_hybrid_and_stride(rng):
+    """int8 dict-form tables must thread through the hybrid per-level-list
+    path and the strided lookup (both unpack {tables, scales})."""
+    cfg = _tiny_config(uncertainty_channels=0, grid_layout="hybrid")
+    model = NerfactoModel(cfg)
+    rb = _bundle(rng)
+    stacked = init_ensemble_params(model, 2)
+    p32 = pack_ensemble_tables(model, stacked)
+    p8 = pack_ensemble_tables(model, stacked, table_dtype=jnp.int8)
+    assert isinstance(p8["field"], dict)
+    assert all(t.dtype == jnp.int8 for t in p8["field"]["tables"])
+    render32 = build_fused_ensemble_render(model, main_stride_scale=4.0)
+    render8 = build_fused_ensemble_render(model, main_stride_scale=4.0)
+    o32 = render32(stacked, p32, rb)
+    o8 = render8(stacked, p8, rb)
+    assert float(jnp.abs(o32["rgb"] - o8["rgb"]).max()) < 0.05
+
+
 def test_fused_render_ray_sharded_matches_single_device(rng):
     """VERDICT r1 item 7: the fused ensemble render sharded over the ray
     axis of the 8-device CPU mesh must equal the single-device render

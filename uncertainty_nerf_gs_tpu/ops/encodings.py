@@ -402,6 +402,40 @@ def pack_member_cell_tables(
     return packed
 
 
+def quantize_cell_tables_int8(packed):
+    """Per-level symmetric int8 quantization of fused eval rows.
+
+    XLA's dynamic row gather on the v5e lowers ~2.8x faster for int8
+    tables than bf16 at the 2^19-row main-grid size (202M vs 73M rows/s,
+    measured r3) — the strategy switch keys on operand bytes. Dequant is
+    FREE at lookup: the per-level scale folds into the trilerp weight
+    matmul (`packed_cell_lookup` multiplies `wl` by it).
+
+    packed: (L, T, lanes) stacked rows or a per-level list (hybrid).
+    Returns {"tables": int8 rows, "scales": per-level f32 scalars} — the
+    dict form every lookup below accepts in place of raw tables.
+    """
+
+    def one(t):
+        t = t.astype(jnp.float32)
+        s = jnp.maximum(jnp.max(jnp.abs(t)), 1e-12) / 127.0
+        q = jnp.clip(jnp.round(t / s), -127, 127).astype(jnp.int8)
+        return q, s
+
+    if isinstance(packed, (list, tuple)):
+        qs = [one(t) for t in packed]
+        return {"tables": [q for q, _ in qs], "scales": [s for _, s in qs]}
+    qs = [one(packed[lvl]) for lvl in range(packed.shape[0])]
+    return {"tables": jnp.stack([q for q, _ in qs]), "scales": [s for _, s in qs]}
+
+
+def _unpack_quantized(packed):
+    """(tables, scales-or-None) from raw tables or the int8 dict form."""
+    if isinstance(packed, dict):
+        return packed["tables"], packed["scales"]
+    return packed, None
+
+
 def packed_cell_lookup(
     packed,
     positions: jax.Array,
@@ -415,7 +449,9 @@ def packed_cell_lookup(
     packed: (L, table_size, lanes) from `pack_member_cell_tables` (corner c
     of a cell owns lanes [c*M*F, (c+1)*M*F)), or a per-level list of
     (T_l, lanes) arrays with ``table_size`` a matching per-level list
-    (hybrid layout). Returns (M, n, L*F) float32.
+    (hybrid layout), or the `quantize_cell_tables_int8` dict form (int8
+    rows + per-level scales folded into the trilerp weights). Returns
+    (M, n, L*F) float32.
 
     Post-gather math is lane-space matmuls (see `_lerp_matrices`): trilerp
     reduces each level to (n, M*F) member-major lanes; a final per-member
@@ -426,6 +462,7 @@ def packed_cell_lookup(
     m = num_members
     mf = m * feats
     levels = len(np.asarray(resolutions))
+    packed, scales = _unpack_quantized(packed)
     tables, sizes = _per_level_tables(packed, table_size, levels)
     lanes = tables[0].shape[-1]
     n = positions.shape[0]
@@ -435,7 +472,11 @@ def packed_cell_lookup(
     for lvl, res in enumerate(np.asarray(resolutions)):
         idx, w = cell_indices(positions, int(res), sizes[lvl])
         rows = tables[lvl][idx]  # (n, lanes)
-        wl = w.astype(rows.dtype) @ corner_b.astype(rows.dtype)  # (n, lanes)
+        if scales is not None:  # int8 rows: dequant scale rides on wl
+            wl = (w @ corner_b) * scales[lvl]  # (n, lanes) f32
+            rows = rows.astype(jnp.float32)
+        else:
+            wl = w.astype(rows.dtype) @ corner_b.astype(rows.dtype)
         outs.append(((rows * wl) @ corner_s.astype(rows.dtype)))  # (n, MF)
     all_lvls = jnp.concatenate(outs, axis=-1).astype(jnp.float32)  # (n, L*MF)
 
@@ -480,15 +521,22 @@ def packed_cell_lookup_strided(
     feats = features_per_level
     m = num_members
     r, s, _ = norm_positions.shape
+    packed, scales = _unpack_quantized(packed)
     tables, sizes = _per_level_tables(
         packed, table_size, len(np.asarray(resolutions))
     )
+
+    def level_packed(lvl):
+        if scales is None:
+            return [tables[lvl]]
+        return {"tables": [tables[lvl]], "scales": [scales[lvl]]}
+
     outs = []
     for lvl, res in enumerate(np.asarray(resolutions)):
         k = int(np.clip(int(stride_scale * s) // (2 * int(res)), 1, max_stride))
         if k == 1:
             f = packed_cell_lookup(
-                [tables[lvl]],
+                level_packed(lvl),
                 norm_positions.reshape(-1, 3),
                 [int(res)],
                 [sizes[lvl]],
@@ -507,7 +555,7 @@ def packed_cell_lookup_strided(
         pos_a = norm_positions[:, idx]  # (R, A, 3)
         t_a = t_mid[:, idx]  # (R, A)
         f_a = packed_cell_lookup(
-            [tables[lvl]],
+            level_packed(lvl),
             pos_a.reshape(-1, 3),
             [int(res)],
             [sizes[lvl]],

@@ -1,28 +1,35 @@
-"""Pallas TPU kernel for inverse-CDF sampling (the PDF resampler's core).
+"""Fused Pallas TPU kernel for the PDF resampler (inverse-CDF sampling).
 
-XLA lowers the (R, S, N) compare-reduce CDF inversion poorly on TPU
-(~49 ms per fused ensemble render at 8192 rays — a quarter of the whole
-forward — for ~1 ms of actual VPU math). This kernel keeps the natural
-(rays, bins) layout — bins on lanes — and finds, per query column, the
-bracketing (cdf, edge) pairs with masked LANE reductions:
+TPU-native replacement for the searchsorted at the core of nerfstudio's
+``PDFSampler`` (consumed by the reference's proposal hierarchy,
+`/root/reference/nerfuncertainty/models/laplace/laplace_model.py`): one
+kernel fuses histogram padding -> normalization -> CDF (MXU triangular
+matmul) -> bracket search -> piecewise-linear interpolation, so nothing
+round-trips HBM between stages. Semantics match nerfstudio's PDFSampler
+bit-for-bit-ish (per-bin padding, eps re-normalization, linear inversion);
+the XLA fallback in `ops/sampling.py` is the differentiable reference.
 
-    for j in queries:                      # static unroll, N <= ~128
-        le  = cdf <= u[:, j]               # (BR, S') prefix mask per ray
-        c0  = max(where(le, cdf, 0))       # last cdf <= u (lane reduce)
-        e0  = max(where(le, edges, 0))     # its edge (edges sorted)
-        c1  = min(where(le, 2, cdf))       # first cdf > u
-        e1  = min(where(le, 2, edges))
+Layout (v2): the first fused kernel kept bins on LANES and looped over
+query columns — every query cost a lane-column extract of ``u``, a
+lane-column write of the output, and 4 masked lane-reductions per 128-bin
+chunk; measured 108 ms standalone at (32k rays, 256 bins -> 97 queries).
+This version puts BINS ON SUBLANES and QUERIES ON LANES:
 
-Mosaic's masked lane reductions degrade ~30x once the lane extent exceeds
-~192 (measured: 192 lanes 4.3 ms, 257 lanes 164 ms at these shapes), so
-the wrapper splits the bin axis into <=128-bin kernel calls and merges the
-per-chunk brackets in XLA (brackets over sorted chunks merge exactly by
-max/min), then interpolates.
+    z[r, s, j] = cdf[r, s] <= u[r, j]          one broadcast compare
+    c0 = max_s cdf[r, s]     * z               4 sublane-axis reductions,
+    e0 = max_s edge[r, s]    * z                 no column relayouts
+    c1 = max_s cdf[r, s+1]   * z               (cdf sorted: the max over
+    e1 = max_s edge[r, s+1]  * z                masked s of the SHIFTED
+                                                array is exactly the
+                                                bracket's right side)
+
+All four brackets are max-reductions with ONE shared mask; sublane padding
+wastes <=7 rows instead of the lane-chunked version's up-to-33% padded
+compare chunk. Queries pad to 128 lanes.
 
 Gradients: the nerfacto training path never differentiates through the
-sampler (weights are stop-gradient'ed, `models/nerfacto.py`), so the
-wrapper stops gradients explicitly; the XLA fallback in `ops/sampling.py`
-remains for CPU and for anyone needing a differentiable path.
+sampler (weights are stop-gradient'ed, `models/nerfacto.py`), and this
+wrapper stops gradients explicitly.
 """
 
 from __future__ import annotations
@@ -34,97 +41,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_BLOCK_R = 256  # rays (sublanes) per grid step
-_CHUNK_S = 128  # bins per kernel call (lane extent; > ~192 is a cliff)
+_BLOCK_R = 8  # rays per grid step (z tensor: _BLOCK_R x SP x 128 f32 in VMEM)
+_CHUNK_S = 128  # lane extent per partial sum (Mosaic reduce cliff past ~192)
 _BIG = 2.0  # sentinel > any cdf/edge value (both live in [0, 1])
-
-
-def _bracket_kernel(cdf_ref, edges_ref, u_ref, c0_ref, e0_ref, c1_ref, e1_ref):
-    cdf = cdf_ref[:, :]  # (BR, S'), sorted along lanes
-    edges = edges_ref[:, :]
-    n = u_ref.shape[1]
-    big = jnp.float32(_BIG)
-    for j in range(n):  # static unroll over query columns
-        uj = u_ref[:, j][:, None]  # (BR, 1)
-        le = cdf <= uj
-        c0_ref[:, j] = jnp.max(jnp.where(le, cdf, 0.0), axis=1)
-        e0_ref[:, j] = jnp.max(jnp.where(le, edges, 0.0), axis=1)
-        c1_ref[:, j] = jnp.min(jnp.where(le, big, cdf), axis=1)
-        e1_ref[:, j] = jnp.min(jnp.where(le, big, edges), axis=1)
-
-
-def _brackets(cdf: jax.Array, s_edges: jax.Array, u: jax.Array):
-    """One kernel call over <=_CHUNK_S bins: four (R, N) bracket arrays."""
-    rp, s1 = cdf.shape
-    n = u.shape[1]
-    spec_in = pl.BlockSpec((_BLOCK_R, s1), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    spec_u = pl.BlockSpec((_BLOCK_R, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((_BLOCK_R, n), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    shape = jax.ShapeDtypeStruct((rp, n), jnp.float32)
-    return pl.pallas_call(
-        _bracket_kernel,
-        grid=(rp // _BLOCK_R,),
-        in_specs=[spec_in, spec_in, spec_u],
-        out_specs=(out_spec,) * 4,
-        out_shape=(shape,) * 4,
-    )(cdf, s_edges, u)
-
-
-@functools.partial(jax.jit, static_argnames=())
-def invert_cdf_tpu(cdf: jax.Array, s_edges: jax.Array, u: jax.Array) -> jax.Array:
-    """Piecewise-linear inverse CDF on TPU.
-
-    cdf/s_edges: (R, S+1) sorted along the last axis; u: (R, N) queries in
-    [0, 1). Returns (R, N) interpolated edges. Not differentiable (inputs
-    are stop-gradient'ed — see module docstring).
-    """
-    cdf = jax.lax.stop_gradient(cdf).astype(jnp.float32)
-    s_edges = jax.lax.stop_gradient(s_edges).astype(jnp.float32)
-    u = jax.lax.stop_gradient(u).astype(jnp.float32)
-
-    r, s1 = cdf.shape
-    n = u.shape[1]
-    pad_r = (-r) % _BLOCK_R
-    if pad_r:
-        cdf = jnp.pad(cdf, ((0, pad_r), (0, 0)), constant_values=1.0)
-        s_edges = jnp.pad(s_edges, ((0, pad_r), (0, 0)), constant_values=1.0)
-        u = jnp.pad(u, ((0, pad_r), (0, 0)), constant_values=0.5)
-
-    c0 = e0 = None
-    c1 = e1 = None
-    for lo in range(0, s1, _CHUNK_S):
-        hi = min(lo + _CHUNK_S, s1)
-        c0_c, e0_c, c1_c, e1_c = _brackets(
-            cdf[:, lo:hi], s_edges[:, lo:hi], u
-        )
-        if c0 is None:
-            c0, e0, c1, e1 = c0_c, e0_c, c1_c, e1_c
-        else:
-            # chunks are sorted slices: brackets merge exactly by max/min
-            c0 = jnp.maximum(c0, c0_c)
-            e0 = jnp.maximum(e0, e0_c)
-            c1 = jnp.minimum(c1, c1_c)
-            e1 = jnp.minimum(e1, e1_c)
-
-    # u < 1 = cdf[-1], so c1 is always a real bin; guard degenerate rows.
-    c1 = jnp.where(c1 >= _BIG, 1.0, c1)
-    e1 = jnp.where(e1 >= _BIG, 1.0, e1)
-    frac = jnp.where(c1 > c0, (u - c0) / jnp.maximum(c1 - c0, 1e-12), 0.0)
-    return (e0 + frac * (e1 - e0))[:r]
-
-
-# ---------------------------------------------------------------------------
-# Fully fused PDF resampler: histogram padding -> normalize -> CDF (MXU
-# triangular matmul) -> bracket -> interpolate, ONE pallas_call.
-#
-# The staged path above (XLA prefix-matmul cumsum + three bracket kernel
-# calls + XLA merges) materializes (R, S+1) cdf/edges and four (R, N)
-# bracket arrays in HBM between every stage; in-context that made the PDF
-# chain ~185 ms of a 543 ms fused ensemble render (r3 ablation) vs ~70 ms
-# standalone. Fusing the whole resampler keeps everything VMEM-resident.
-# Reference semantics unchanged (nerfstudio PDFSampler: per-bin padding,
-# eps re-normalization, piecewise-linear inversion).
-# ---------------------------------------------------------------------------
 
 
 def _interpret() -> bool:
@@ -135,8 +54,8 @@ def _interpret() -> bool:
 
 def _resample_kernel(w_ref, edges_ref, u_ref, out_ref, *, hist_pad, eps):
     w = w_ref[:, :] + hist_pad  # (BR, S)
-    s = w.shape[1]
-    # lane-chunked sum (Mosaic reduces cliff past ~192 lanes)
+    br, s = w.shape
+    # lane-chunked sum (Mosaic reduce cliff past ~192 lanes)
     wsum = None
     for lo in range(0, s, _CHUNK_S):
         part = jnp.sum(w[:, lo:min(lo + _CHUNK_S, s)], axis=1, keepdims=True)
@@ -154,46 +73,38 @@ def _resample_kernel(w_ref, edges_ref, u_ref, out_ref, *, hist_pad, eps):
     )
     cdf_in = jnp.clip(cdf_in, 0.0, 1.0)
 
-    # leading zero column + BIG sentinel pad to the edges' lane extent
-    br = w.shape[0]
-    sp = edges_ref.shape[1]
-    cdf = jnp.concatenate(
-        [
-            jnp.zeros((br, 1), jnp.float32),
-            cdf_in,
-            jnp.full((br, sp - s - 1), _BIG, jnp.float32),
-        ],
-        axis=1,
-    )
-    edges = edges_ref[:, :]
+    edges = edges_ref[:, :]  # (BR, S+1), sorted
+    # cdf/edges plus their left-shifts, padded on sublanes to a multiple
+    # of 8 with BIG (mask false there) / 1.0 (shift rows past the last
+    # real bracket are never selected: u < 1 = cdf[-1]).
+    sp = ((s + 1 + 7) // 8) * 8
+    pad = sp - (s + 1)
 
-    n = u_ref.shape[1]
-    big = jnp.float32(_BIG)
-    for j in range(n):  # static unroll over query columns
-        uj = u_ref[:, j][:, None]  # (BR, 1)
-        c0 = e0 = None
-        c1 = e1 = None
-        for lo in range(0, sp, _CHUNK_S):  # <=128-lane masked reduces
-            cc = cdf[:, lo:lo + _CHUNK_S]
-            ec = edges[:, lo:lo + _CHUNK_S]
-            le = cc <= uj
-            c0_c = jnp.max(jnp.where(le, cc, 0.0), axis=1)
-            e0_c = jnp.max(jnp.where(le, ec, 0.0), axis=1)
-            c1_c = jnp.min(jnp.where(le, big, cc), axis=1)
-            e1_c = jnp.min(jnp.where(le, big, ec), axis=1)
-            if c0 is None:
-                c0, e0, c1, e1 = c0_c, e0_c, c1_c, e1_c
-            else:  # sorted chunks: brackets merge exactly by max/min
-                c0 = jnp.maximum(c0, c0_c)
-                e0 = jnp.maximum(e0, e0_c)
-                c1 = jnp.minimum(c1, c1_c)
-                e1 = jnp.minimum(e1, e1_c)
-        c1 = jnp.where(c1 >= big, 1.0, c1)
-        e1 = jnp.where(e1 >= big, 1.0, e1)
-        frac = jnp.where(
-            c1 > c0, (uj[:, 0] - c0) / jnp.maximum(c1 - c0, 1e-12), 0.0
-        )
-        out_ref[:, j] = e0 + frac * (e1 - e0)
+    def to_sub(x, fill):
+        x = x.reshape(br, s + 1, 1)
+        if pad:
+            x = jnp.concatenate(
+                [x, jnp.full((br, pad, 1), fill, jnp.float32)], axis=1
+            )
+        return x  # (BR, SP, 1)
+
+    zero = jnp.zeros((br, 1), jnp.float32)
+    one = jnp.ones((br, 1), jnp.float32)
+    cdf = to_sub(jnp.concatenate([zero, cdf_in], axis=1), _BIG)
+    edg = to_sub(edges, _BIG)
+    cdf_sh = to_sub(jnp.concatenate([cdf_in, one], axis=1), 1.0)
+    edg_sh = to_sub(jnp.concatenate([edges[:, 1:], one], axis=1), 1.0)
+
+    u = u_ref[:, :]  # (BR, N)
+    z = (cdf <= u[:, None, :]).astype(jnp.float32)  # (BR, SP, N)
+
+    c0 = jnp.max(cdf * z, axis=1)  # (BR, N): last cdf <= u (sorted)
+    e0 = jnp.max(edg * z, axis=1)
+    c1 = jnp.max(cdf_sh * z, axis=1)  # cdf[idx+1] — right bracket
+    e1 = jnp.max(edg_sh * z, axis=1)
+
+    frac = jnp.where(c1 > c0, (u - c0) / jnp.maximum(c1 - c0, 1e-12), 0.0)
+    out_ref[:, :] = e0 + frac * (e1 - e0)
 
 
 def resample_edges_tpu(
@@ -212,14 +123,13 @@ def resample_edges_tpu(
 
     r, s = weights.shape
     n = u.shape[1]
-    sp = ((s + 1 + _CHUNK_S - 1) // _CHUNK_S) * _CHUNK_S
-    s_edges = jnp.pad(
-        s_edges, ((0, 0), (0, sp - s - 1)), constant_values=_BIG
-    )
+    np_ = ((n + _CHUNK_S - 1) // _CHUNK_S) * _CHUNK_S
+    if np_ > n:
+        u = jnp.pad(u, ((0, 0), (0, np_ - n)), constant_values=0.5)
     pad_r = (-r) % _BLOCK_R
     if pad_r:
         weights = jnp.pad(weights, ((0, pad_r), (0, 0)), constant_values=1.0)
-        s_edges = jnp.pad(s_edges, ((0, pad_r), (0, 0)), constant_values=_BIG)
+        s_edges = jnp.pad(s_edges, ((0, pad_r), (0, 0)), constant_values=1.0)
         u = jnp.pad(u, ((0, pad_r), (0, 0)), constant_values=0.5)
     rp = r + pad_r
 
@@ -231,13 +141,15 @@ def resample_edges_tpu(
         grid=(rp // _BLOCK_R,),
         in_specs=[
             pl.BlockSpec((_BLOCK_R, s), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_BLOCK_R, sp), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_BLOCK_R, n), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (_BLOCK_R, s + 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((_BLOCK_R, np_), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (_BLOCK_R, n), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (_BLOCK_R, np_), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((rp, n), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((rp, np_), jnp.float32),
         interpret=_interpret(),
     )(weights, s_edges, u)
-    return out[:r]
+    return out[:r, :n]

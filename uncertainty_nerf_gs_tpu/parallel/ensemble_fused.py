@@ -47,6 +47,7 @@ from uncertainty_nerf_gs_tpu.ops.encodings import (
     pack_member_cell_tables,
     packed_cell_lookup,
     packed_cell_lookup_strided,
+    quantize_cell_tables_int8,
 )
 from uncertainty_nerf_gs_tpu.ops.sampling import (
     RayBundle,
@@ -115,13 +116,20 @@ def _pack_encoding(
     cell layout: ``cells`` (M, L, rows, 128) -> (L, T, lanes) array.
     hybrid: dense levels expand each member's canonical corner grid to
     cell rows first; returns a per-level list of (T_l, lanes) arrays.
+    table_dtype=jnp.int8 quantizes per level (symmetric, scale folded
+    into the lookup's trilerp weights — see `quantize_cell_tables_int8`
+    for the measured 2.8x gather-rate rationale).
     """
+    quantize = table_dtype == jnp.int8
+    if quantize:
+        table_dtype = None  # pack in f32, then quantize per level
     if layout == "cell":
-        return jax.jit(
+        packed = jax.jit(
             lambda rows: pack_member_cell_tables(
                 rows, table_size, feats, dtype=table_dtype
             )
         )(enc_params["cells"])
+        return jax.jit(quantize_cell_tables_int8)(packed) if quantize else packed
     assert layout == "hybrid"
 
     @jax.jit
@@ -151,7 +159,8 @@ def _pack_encoding(
             tables.append(packed)
         return tables
 
-    return pack(enc_params)
+    tables = pack(enc_params)
+    return jax.jit(quantize_cell_tables_int8)(tables) if quantize else tables
 
 
 def pack_ensemble_tables(

@@ -237,7 +237,10 @@ def build_chunk_render_fn(trainer, spec, run_dir: Path,
 
 
 def build_ensemble_render_fn(
-    run_dirs: list[Path], seed: int = 0, main_stride_scale: float = 0.0
+    run_dirs: list[Path],
+    seed: int = 0,
+    main_stride_scale: float = 0.0,
+    table_dtype: str = "bf16",
 ):
     """Eval-time deep ensemble: load M runs, stack params, vmapped fan-out +
     epi/alea combination (`ensemble_pipeline.py:144-191`).
@@ -269,7 +272,7 @@ def build_ensemble_render_fn(
 
         return render, eval_outputs, eval_images
 
-    chunk_fn = build_ensemble_chunk_fn(trainers, main_stride_scale)
+    chunk_fn = build_ensemble_chunk_fn(trainers, main_stride_scale, table_dtype)
     render = _nerfacto_full_image_renderer(base, chunk_fn, eval_outputs.cameras)
     return render, eval_outputs, eval_images
 
@@ -299,9 +302,16 @@ def build_ensemble_splat_render_cam(trainers, width: int, height: int):
     return render_cam
 
 
-def build_ensemble_chunk_fn(trainers, main_stride_scale: float = 0.0):
+def build_ensemble_chunk_fn(
+    trainers, main_stride_scale: float = 0.0, table_dtype: str = "bf16"
+):
     """nerfacto-family ensemble chunk renderer ``rb -> combined outputs``
-    (fused shared-gather path when the layout supports it)."""
+    (fused shared-gather path when the layout supports it).
+
+    ``table_dtype``: fused eval table precision — "bf16" (default parity
+    mode), "f32", or "int8" (per-level-scale quantized rows; the v5e
+    gathers int8 rows ~2.8x faster at the 2^19 main-grid size, dequant is
+    folded into the trilerp weights — `quantize_cell_tables_int8`)."""
     from uncertainty_nerf_gs_tpu.models.ensemble import (
         ensemble_render,
         stack_params,
@@ -322,7 +332,8 @@ def build_ensemble_chunk_fn(trainers, main_stride_scale: float = 0.0):
             pack_ensemble_tables,
         )
 
-        packed = pack_ensemble_tables(base.model, stacked, table_dtype=jnp.bfloat16)
+        dt = {"bf16": jnp.bfloat16, "f32": None, "int8": jnp.int8}[table_dtype]
+        packed = pack_ensemble_tables(base.model, stacked, table_dtype=dt)
         fused = build_fused_ensemble_render(
             base.model, main_stride_scale=main_stride_scale
         )
@@ -366,6 +377,10 @@ def main(argv: list[str] | None = None) -> dict:
                          "(reference EvalUncertainty.unc_min)")
     ap.add_argument("--unc-max", type=float, default=1.0,
                     help="upper edge of the fixed std-map color window")
+    ap.add_argument("--table-dtype", default="bf16",
+                    choices=("bf16", "f32", "int8"),
+                    help="fused ensemble eval-table precision (int8 = "
+                         "quantized rows, fastest gathers)")
     ap.add_argument("--main-stride-scale", type=float, default=0.0,
                     help="fused-ensemble render: evaluate the main field's "
                          "coarse grid levels at strided ray anchors "
@@ -382,7 +397,9 @@ def main(argv: list[str] | None = None) -> dict:
     run_dirs = [Path(p) for p in args.load_config]
     if len(run_dirs) > 1:
         render_fn, eval_outputs, eval_images = build_ensemble_render_fn(
-            run_dirs, main_stride_scale=args.main_stride_scale
+            run_dirs,
+            main_stride_scale=args.main_stride_scale,
+            table_dtype=args.table_dtype,
         )
         method_name = "ensemble"
         ckpt = ";".join(str(latest_checkpoint(d)) for d in run_dirs)
