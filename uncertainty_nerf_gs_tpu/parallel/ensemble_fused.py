@@ -122,19 +122,46 @@ def _pack_encoding(
     """
     quantize = table_dtype == jnp.int8
     if quantize:
-        table_dtype = None  # pack in f32, then quantize per level
+        table_dtype = None  # pack in f32, quantize per level (below)
+
+    def maybe_quant(packed_l):
+        """(T, lanes) f32 -> int8 rows + scale, inside the same jit so the
+        f32 intermediate never persists (the full 16-level f32 pack is
+        ~21 GB at parity scale — past HBM)."""
+        if not quantize:
+            return packed_l
+        q = quantize_cell_tables_int8([packed_l])
+        return q["tables"][0], q["scales"][0]
+
+    def finish(per_level, stack_tables: bool):
+        if not quantize:
+            return jnp.stack(per_level) if stack_tables else per_level
+        tables = [t for t, _ in per_level]
+        scales = [s for _, s in per_level]
+        return {
+            "tables": jnp.stack(tables) if stack_tables else tables,
+            "scales": scales,
+        }
+
     if layout == "cell":
-        packed = jax.jit(
-            lambda rows: pack_member_cell_tables(
-                rows, table_size, feats, dtype=table_dtype
-            )
-        )(enc_params["cells"])
-        return jax.jit(quantize_cell_tables_int8)(packed) if quantize else packed
+
+        @jax.jit
+        def pack_cell(cells):
+            per_level = []
+            for lvl in range(cells.shape[1]):
+                packed = pack_member_cell_tables(
+                    cells[:, lvl : lvl + 1], table_size, feats,
+                    dtype=table_dtype,
+                )[0]
+                per_level.append(maybe_quant(packed))
+            return finish(per_level, stack_tables=True)
+
+        return pack_cell(enc_params["cells"])
     assert layout == "hybrid"
 
     @jax.jit
     def pack(enc_params):
-        tables = []
+        per_level = []
         hi = 0
         for lvl, res in enumerate(int(r) for r in np.asarray(resolutions)):
             if hybrid_is_dense(res, table_size):
@@ -156,11 +183,10 @@ def _pack_encoding(
                     dtype=table_dtype,
                 )[0]
                 hi += 1
-            tables.append(packed)
-        return tables
+            per_level.append(maybe_quant(packed))
+        return finish(per_level, stack_tables=False)
 
-    tables = pack(enc_params)
-    return jax.jit(quantize_cell_tables_int8)(tables) if quantize else tables
+    return pack(enc_params)
 
 
 def pack_ensemble_tables(
