@@ -52,11 +52,12 @@ def run_job(path: Path) -> None:
     src = path.read_text()
     print(f"[worker] running {path.name} -> {log_path}", flush=True)
     t0 = time.perf_counter()
+    g: dict = {}
     with open(log_path, "w") as lf:
         tee = Tee(sys.__stdout__, lf)
         try:
             code = compile(src, str(path), "exec")
-            g = {"__name__": "__main__", "__file__": str(path)}
+            g.update({"__name__": "__main__", "__file__": str(path)})
             with contextlib.redirect_stdout(tee), contextlib.redirect_stderr(tee):
                 exec(code, g)
             dest = DONE / path.name
@@ -72,6 +73,40 @@ def run_job(path: Path) -> None:
         f"[worker] {path.name}: {status} in {time.perf_counter()-t0:.0f}s",
         flush=True,
     )
+    _release_device_memory(g)
+
+
+def _release_device_memory(job_globals: dict) -> None:
+    """Free everything a finished job left on the chip.
+
+    Jobs exec in ONE long-lived process (the axon tunnel wedges on process
+    churn), so device arrays referenced by job globals / jit caches pile
+    up across jobs; round 3 lost a whole queue to a RESOURCE_EXHAUSTED
+    cascade after one job OOM'd. Jobs don't share device state (anything
+    persistent lives on disk), so between jobs every live array is
+    garbage: drop the job's namespace, clear jit caches, delete whatever
+    buffers remain.
+    """
+    import gc
+
+    job_globals.clear()
+    try:
+        import jax
+
+        jax.clear_caches()
+        gc.collect()
+        leaked = 0
+        for arr in jax.live_arrays():
+            try:
+                arr.delete()
+                leaked += 1
+            except Exception:
+                pass
+        gc.collect()
+        if leaked:
+            print(f"[worker] freed {leaked} leaked device arrays", flush=True)
+    except Exception as e:  # cleanup must never kill the worker
+        print(f"[worker] cleanup error (continuing): {e}", flush=True)
 
 
 def main() -> None:

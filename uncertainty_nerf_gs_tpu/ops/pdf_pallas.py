@@ -41,9 +41,19 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_BLOCK_R = 8  # rays per grid step (z tensor: _BLOCK_R x SP x 128 f32 in VMEM)
 _CHUNK_S = 128  # lane extent per partial sum (Mosaic reduce cliff past ~192)
 _BIG = 2.0  # sentinel > any cdf/edge value (both live in [0, 1])
+
+
+def _block_rays(sp: int, n_lanes: int) -> int:
+    """Rays per grid step: largest multiple of 8 keeping the (BR, SP,
+    n_lanes) f32 mask tensor near ~2 MB (a handful of same-shape
+    intermediates stay live, so this bounds VMEM at <=~10 MB) — measured
+    r3: 8 rays/step left stage-2 (96 bins) dominated by per-step overhead
+    (45 ms for 4096 steps vs 6 ms for the 128-step lane-major kernel)."""
+    budget = 4 << 20
+    br = budget // (sp * n_lanes * 4)
+    return int(max(8, min(64, (br // 8) * 8)))
 
 
 def _interpret() -> bool:
@@ -126,7 +136,9 @@ def resample_edges_tpu(
     np_ = ((n + _CHUNK_S - 1) // _CHUNK_S) * _CHUNK_S
     if np_ > n:
         u = jnp.pad(u, ((0, 0), (0, np_ - n)), constant_values=0.5)
-    pad_r = (-r) % _BLOCK_R
+    sp = ((s + 1 + 7) // 8) * 8  # kernel's sublane extent (see _resample_kernel)
+    block_r = _block_rays(sp, np_)
+    pad_r = (-r) % block_r
     if pad_r:
         weights = jnp.pad(weights, ((0, pad_r), (0, 0)), constant_values=1.0)
         s_edges = jnp.pad(s_edges, ((0, pad_r), (0, 0)), constant_values=1.0)
@@ -138,16 +150,16 @@ def resample_edges_tpu(
     )
     out = pl.pallas_call(
         kernel,
-        grid=(rp // _BLOCK_R,),
+        grid=(rp // block_r,),
         in_specs=[
-            pl.BlockSpec((_BLOCK_R, s), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_r, s), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (_BLOCK_R, s + 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+                (block_r, s + 1), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec((_BLOCK_R, np_), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_r, np_), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (_BLOCK_R, np_), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (block_r, np_), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((rp, np_), jnp.float32),
         interpret=_interpret(),
