@@ -51,7 +51,7 @@ def _block_rays(sp: int, n_lanes: int) -> int:
     intermediates stay live, so this bounds VMEM at <=~10 MB) — measured
     r3: 8 rays/step left stage-2 (96 bins) dominated by per-step overhead
     (45 ms for 4096 steps vs 6 ms for the 128-step lane-major kernel)."""
-    budget = 4 << 20
+    budget = 3 << 20  # measured sweet spot: 256-bin stage -> 16 rays/step
     br = budget // (sp * n_lanes * 4)
     return int(max(8, min(64, (br // 8) * 8)))
 
