@@ -80,6 +80,7 @@ class SplatfactoConfig:
     background_color: str = "random"  # random | white | black
     rasterize_capacity: int = 512
     tile_chunk: int = 64
+    rasterize_backend: str = "auto"  # auto | pallas | xla (ops/rasterize.py)
     # active-splatfacto (reference `activesplatfacto_model.py:30-46`)
     uncertainty_channels: int = 0
     beta_min: float = 0.01
@@ -296,6 +297,7 @@ def render_splat(
         height,
         capacity=config.rasterize_capacity,
         tile_chunk=config.tile_chunk,
+        backend=config.rasterize_backend,
     )
     img = out.image
     alpha = out.alpha
