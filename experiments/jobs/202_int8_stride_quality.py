@@ -58,6 +58,7 @@ for name, dtype, stride in [
     ("bf16_stride4", "bf16", 4.0),
     ("bf16_stride8", "bf16", 8.0),
     ("int8_stride4", "int8", 4.0),
+    ("int8_stride8", "int8", 8.0),
 ]:
     out = eval_main([
         "--load-config", members[0], "--load-config", members[1],
@@ -77,7 +78,7 @@ for name, r in results.items():
     dpsnr = r["psnr"] - base["psnr"]
     rel_ause = {
         k: (r[k] - base[k]) / max(abs(base[k]), 1e-9)
-        for k in r if k.startswith("ause")
+        for k in r if "ause" in k
     }
     worst = max(abs(v) for v in rel_ause.values()) if rel_ause else 0.0
     results[name]["delta_psnr_db"] = round(dpsnr, 4)
