@@ -8,6 +8,10 @@ import os
 # The machine env pre-sets JAX_PLATFORMS=axon (the remote TPU tunnel); tests
 # must run on the virtual 8-device CPU mesh, so FORCE the override.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Even CPU-only processes register an axon session at jax-plugin discovery
+# unless the pool is emptied; that churn wedges any concurrent TPU worker
+# for ~15 min (round-3 lesson). Tests must never touch the tunnel.
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
 # Async CPU dispatch deadlocks intermittently on single-core hosts (result
 # futures never resolve); force synchronous dispatch for tests.
 os.environ.setdefault("JAX_CPU_ENABLE_ASYNC_DISPATCH", "0")
