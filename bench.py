@@ -20,11 +20,15 @@ Round-2 path (parallel/ensemble_fused.py): cell-major hash grids + member-
 packed rows, ONE gather per (sample, level) serves all 5 members; proposal
 chain shared across members (deviation validated in tests).
 
-Round-3 headline config adds int8 eval tables and main-field anchor
-stride 8 on top of the bf16 parity mode — both eval-time approximations
-quality-gated at full model scale (evidence/int8_stride_quality_r3.json;
-the north-star criterion is AUSE within 1%, BASELINE.json). A second
-metric line reports the exact-table (bf16, no stride) throughput.
+Round-4 headline policy (VERDICT r3 weak #1): the HEADLINE metric is the
+fastest configuration whose quality gate PASSES — a config only graduates
+into the headline with a committed evidence file showing dPSNR > -0.1 dB
+and no AUSE degradation beyond 1% vs the exact bf16 render on a converged
+checkpoint (evidence/int8_stride_quality_r4.json). Approximation configs
+that have not passed (or that failed) the gate are reported as secondary
+metrics explicitly suffixed `_unvalidated`. Round 3's int8+stride8 config
+FAILED its gate (evidence/int8_stride_quality_r3.json: stride-8 reorders
+the uncertainty map, relative AUSE +29%), so it is no longer the headline.
 """
 
 from __future__ import annotations
@@ -87,21 +91,21 @@ def bench_ensemble_render() -> dict:
     )
     model = NerfactoModel(config)
     stacked_params = init_ensemble_params(model, NUM_MEMBERS)
-    # Headline config = int8 eval tables + main-field anchor stride 8 —
-    # both quality-gated at full model scale on a trained 2-member
-    # ensemble (evidence/int8_stride_quality_r3.json: dPSNR and relative
-    # AUSE deltas vs the exact bf16 render within the BASELINE.md 1%
-    # criterion). int8: per-level symmetric table quantization, scale
-    # folded into the trilerp weight matmul (gathers run 2.8x faster at
-    # the 2^19 grid — evidence/gather_study). stride 8: coarse main-grid
-    # levels evaluate at strided ray anchors + lerp (same trick the
-    # proposal chain ships by default). Exact-table mode benched below.
-    packed = pack_ensemble_tables(model, stacked_params, table_dtype=jnp.int8)
-    render = build_fused_ensemble_render(model, main_stride_scale=8.0)
+    # HEADLINE = exact bf16 tables, no eval-time approximation. The r3
+    # int8/stride quality gate (evidence/int8_stride_quality_r3.json)
+    # recorded passes:false for every approximation variant, so none of
+    # them may headline (VERDICT r3 weak #1). A re-gate at a converged
+    # checkpoint is queued (experiments/jobs); a variant that passes will
+    # be promoted here with its evidence file cited.
     packed_exact = pack_ensemble_tables(
         model, stacked_params, table_dtype=jnp.bfloat16
     )
     render_exact = build_fused_ensemble_render(model)
+    # Secondary, explicitly unvalidated: int8 eval tables + main-field
+    # anchor stride 8 (fastest known config; its r3 gate FAILED — the
+    # stride-8 main-field lerp degraded relative AUSE by ~29%).
+    packed = pack_ensemble_tables(model, stacked_params, table_dtype=jnp.int8)
+    render = build_fused_ensemble_render(model, main_stride_scale=8.0)
 
     rng = np.random.default_rng(0)
     d = rng.normal(size=(CHUNK, 3))
@@ -122,23 +126,23 @@ def bench_ensemble_render() -> dict:
         b = bundle._replace(origins=bundle.origins + 1e-6 * i)
         return render_exact(stacked_params, packed_exact, b)["rgb"]
 
-    rays_per_sec = _bench(run, CHUNK)
     rays_per_sec_exact = _bench(run_exact, CHUNK)
+    rays_per_sec = _bench(run, CHUNK)
     return [
         {
             "metric": "ensemble5_mean_var_render_throughput",
-            "value": round(rays_per_sec, 1),
-            "unit": "rays/sec",
-            "vs_baseline": round(
-                rays_per_sec / REFERENCE_ENSEMBLE_RAYS_PER_SEC, 3
-            ),
-        },
-        {
-            "metric": "ensemble5_render_throughput_exact_tables",
             "value": round(rays_per_sec_exact, 1),
             "unit": "rays/sec",
             "vs_baseline": round(
                 rays_per_sec_exact / REFERENCE_ENSEMBLE_RAYS_PER_SEC, 3
+            ),
+        },
+        {
+            "metric": "ensemble5_render_int8_stride8_unvalidated",
+            "value": round(rays_per_sec, 1),
+            "unit": "rays/sec",
+            "vs_baseline": round(
+                rays_per_sec / REFERENCE_ENSEMBLE_RAYS_PER_SEC, 3
             ),
         },
     ]
