@@ -46,23 +46,24 @@ def make_fakes():
     from uncertainty_nerf_gs_tpu.ops import encodings as E
 
     def fake_lookup(packed, positions, resolutions, table_size, num_members,
-                    features_per_level=2, _real=E.packed_cell_lookup):
+                    features_per_level=2, _real=E.packed_cell_lookup, **kw):
         levels = len(np.asarray(resolutions))
         tables, _ = E._per_level_tables(packed, table_size, levels)
         # same lane-space math, idx forced to 0 via a 1-row table and
         # table_size=1 (dense index mod 1 -> 0): zero dynamic gather
         one_rows = [t[0:1] for t in tables]
         return _real(one_rows, positions, resolutions, [1] * levels,
-                     num_members, features_per_level)
+                     num_members, features_per_level, **kw)
 
     def fake_strided(packed, norm_positions, t_mid, resolutions, table_size,
                      num_members, features_per_level=2, max_stride=8,
-                     _real=E.packed_cell_lookup_strided):
+                     _real=E.packed_cell_lookup_strided, **kw):
         levels = len(np.asarray(resolutions))
         tables, _ = E._per_level_tables(packed, table_size, levels)
         one_rows = [t[0:1] for t in tables]
         return _real(one_rows, norm_positions, t_mid, resolutions,
-                     [1] * levels, num_members, features_per_level, max_stride)
+                     [1] * levels, num_members, features_per_level,
+                     max_stride, **kw)
 
     return fake_lookup, fake_strided
 

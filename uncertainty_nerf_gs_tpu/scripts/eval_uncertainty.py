@@ -47,8 +47,7 @@ from uncertainty_nerf_gs_tpu.eval.evaluator import (
 
 def _load_run(run_dir: Path):
     run_dir = Path(run_dir)
-    with open(run_dir / "config.json") as f:
-        run_cfg = json.load(f)
+    run_cfg = _load_run_config(run_dir)
     from uncertainty_nerf_gs_tpu.scripts.train import build_trainer
 
     trainer, spec, outputs = build_trainer(
@@ -76,6 +75,22 @@ def _load_run(run_dir: Path):
             step=jnp.asarray(state["step"]),
         )
     return trainer, spec, run_cfg, step
+
+
+def _load_run_config(run_dir: Path) -> dict:
+    """Reload a run's config: ``config.json`` or the reference-style
+    ``config.yml`` (the reference yaml-round-trips run configs,
+    `ensemble_utils.py:131`; unc-train writes both)."""
+    run_dir = Path(run_dir)
+    if (run_dir / "config.json").exists():
+        with open(run_dir / "config.json") as f:
+            return json.load(f)
+    if (run_dir / "config.yml").exists():
+        import yaml
+
+        with open(run_dir / "config.yml") as f:
+            return yaml.safe_load(f)
+    raise FileNotFoundError(f"no config.json/config.yml under {run_dir}")
 
 
 def _eval_cameras_and_images(run_cfg: dict):
@@ -256,7 +271,7 @@ def build_ensemble_render_fn(
         specs.append(s)
     spec = specs[0]
     base = trainers[0]
-    run_cfg = json.load(open(Path(run_dirs[0]) / "config.json"))
+    run_cfg = _load_run_config(Path(run_dirs[0]))
     eval_outputs, eval_images = _eval_cameras_and_images(run_cfg)
 
     if spec.family == "splatfacto":
@@ -414,8 +429,20 @@ def main(argv: list[str] | None = None) -> dict:
         method_name = spec.name
         ckpt = str(latest_checkpoint(run_dirs[0]))
 
+    # self-describing benchmark JSON (VERDICT r3 #8): record exactly which
+    # eval-time approximations produced the numbers. Exact/parity runs show
+    # the exact settings; raster overflow lands in results per image.
+    approximations = {
+        "table_dtype": args.table_dtype if len(run_dirs) > 1 else "f32",
+        "main_stride_scale": args.main_stride_scale if len(run_dirs) > 1 else 0.0,
+        # the fused ensemble render ships strided coarse PROPOSAL levels by
+        # default (build_fused_ensemble_render(proposal_anchor_stride=True))
+        "proposal_anchor_stride": len(run_dirs) > 1,
+        "n_members": len(run_dirs),
+    }
     options = EvalOptions(
         output_path=Path(args.output_path),
+        approximations=approximations,
         render_output_path=(
             Path(args.render_output_path) if args.render_output_path else None
         ),

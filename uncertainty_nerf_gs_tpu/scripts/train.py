@@ -126,7 +126,20 @@ def main(argv: list[str] | None = None) -> Path:
                     help='JSON dict forwarded to the dataparser')
     ap.add_argument("--overrides", type=json.loads, default={},
                     help='JSON dict of model-config overrides')
-    args = ap.parse_args(argv)
+    args, extra = ap.parse_known_args(argv)
+
+    # tyro-style dotted flags (`--model.beta-min 0.02`, reference surface
+    # `--pipeline.model.X`, README:122): resolved against the method's
+    # model-config dataclass and merged over --overrides JSON
+    if extra:
+        from uncertainty_nerf_gs_tpu.configs.flags import parse_dotted_flags
+
+        dotted, special = parse_dotted_flags(
+            extra, get_method(args.method).model_config
+        )
+        args.overrides = {**args.overrides, **dotted}
+        if "camera_opt" in special:
+            args.camera_opt = special["camera_opt"]
 
     trainer, spec, _ = build_trainer(
         args.method, args.data, args.dataparser, args.seed,
@@ -134,19 +147,24 @@ def main(argv: list[str] | None = None) -> Path:
     )
     out_dir = Path(args.output_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
+    run_cfg = {
+        "method": args.method,
+        "data": str(args.data),
+        "dataparser": args.dataparser,
+        "parser_kwargs": args.parser_kwargs,
+        "overrides": args.overrides,
+        "seed": args.seed,
+        "camera_opt": args.camera_opt,
+    }
     with open(out_dir / "config.json", "w") as f:
-        json.dump(
-            {
-                "method": args.method,
-                "data": str(args.data),
-                "dataparser": args.dataparser,
-                "parser_kwargs": args.parser_kwargs,
-                "overrides": args.overrides,
-                "seed": args.seed,
-                "camera_opt": args.camera_opt,
-            },
-            f, indent=2,
-        )
+        json.dump(run_cfg, f, indent=2)
+    # the reference round-trips trained-run configs as YAML (config.yml
+    # written by the trainer, reloaded at `ensemble_utils.py:131`); write
+    # the same file so either format reloads through unc-eval
+    import yaml
+
+    with open(out_dir / "config.yml", "w") as f:
+        yaml.safe_dump(run_cfg, f, sort_keys=False)
 
     from uncertainty_nerf_gs_tpu.utils.writer import ScalarWriter
 
