@@ -137,3 +137,24 @@ def masked_ssim(
     half = (kernel_size - 1) // 2
     m = mask[half:-half, half:-half, None].astype(jnp.float32)
     return jnp.sum(ssim_map * m) / jnp.maximum(jnp.sum(m) * ssim_map.shape[-1] / m.shape[-1], 1.0)
+
+
+def masked_lpips(
+    pred: jax.Array,
+    target: jax.Array,
+    mask: jax.Array | None = None,
+    params=None,
+) -> jax.Array:
+    """Masked LPIPS via the spatial-LPIPS hack (reference
+    `nerfuncertainty/metrics/image_metrics.py:26-54,149-182`): the LPIPS
+    net runs in spatial mode (per-layer weighted diff maps upsampled to
+    input resolution and summed), then the per-pixel map is averaged over
+    the mask — ``sum(map * mask) / sum(mask)`` — or over all pixels when
+    ``mask`` is None. pred/target: (H, W, 3) in [0, 1]; mask: (H, W)."""
+    from uncertainty_nerf_gs_tpu.ops import lpips as _lpips_mod
+
+    lmap = _lpips_mod.lpips_spatial(pred, target, params=params)
+    if mask is None:
+        return jnp.mean(lmap)
+    m = mask.astype(jnp.float32)
+    return jnp.sum(lmap * m) / jnp.maximum(jnp.sum(m), 1.0)

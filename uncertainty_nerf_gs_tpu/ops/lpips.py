@@ -151,3 +151,40 @@ def lpips(img0: jax.Array, img1: jax.Array, params=None) -> jax.Array:
     if params is None:
         params = _default_params()
     return _lpips_impl(params, img0, img1)
+
+
+@jax.jit
+def _lpips_spatial_impl(params, img0: jax.Array, img1: jax.Array) -> jax.Array:
+    # spatial=True semantics of the LPIPS reference implementation (used by
+    # the reference's masked-LPIPS module, `/root/reference/nerfuncertainty/
+    # metrics/image_metrics.py:26-54`): each layer's 1x1-weighted squared
+    # feature diff is bilinearly upsampled to the INPUT resolution
+    # (align_corners=False) and the layer maps are summed — no spatial mean.
+    h, w = img0.shape[:2]
+
+    def prep(img):
+        hh, ww = img.shape[:2]
+        if min(hh, ww) < _MIN_SIZE:
+            scale = -(-_MIN_SIZE // min(hh, ww))
+            img = jax.image.resize(
+                img, (hh * scale, ww * scale, 3), method="bilinear"
+            )
+        img = img.astype(jnp.float32) * 2.0 - 1.0
+        img = (img - jnp.asarray(_SHIFT)) / jnp.asarray(_SCALE)
+        return img.transpose(2, 0, 1)[None]
+
+    f0 = _features(params, prep(img0))
+    f1 = _features(params, prep(img1))
+    total = jnp.zeros((h, w), jnp.float32)
+    for a, b, lin in zip(f0, f1, params["lins"]):
+        diff = (_unit_normalize(a) - _unit_normalize(b)) ** 2
+        weighted = jnp.einsum("nchw,c->hw", diff, lin)
+        total = total + jax.image.resize(weighted, (h, w), method="bilinear")
+    return total
+
+
+def lpips_spatial(img0: jax.Array, img1: jax.Array, params=None) -> jax.Array:
+    """Per-pixel LPIPS map, (H, W): the reference masked-LPIPS substrate."""
+    if params is None:
+        params = _default_params()
+    return _lpips_spatial_impl(params, img0, img1)
