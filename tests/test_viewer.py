@@ -125,3 +125,37 @@ def test_viewer_state_splat(tiny_blender, tmp_path):  # noqa: F811
     outs = state.render_pose(_orbit_pose(info["center"], info["radius"]))
     assert outs["rgb"].shape == (info["height"], info["width"], 3)
     assert np.isfinite(outs["uncertainty"]).all()
+
+
+def test_live_viewer_tracks_training(tiny_blender):  # noqa: F811
+    """Training-time live viewer (reference `vis="viewer"` during training,
+    `laplace_config.py:55`): serves the CURRENT params — the reported step
+    advances and the rendered frame changes as training progresses."""
+    from uncertainty_nerf_gs_tpu.scripts.train import build_trainer
+    from uncertainty_nerf_gs_tpu.scripts.viewer import LiveViewerState, serve
+
+    trainer, spec, _ = build_trainer(
+        "active-nerfacto", tiny_blender, "blender-data", 0, None,
+        TINY_OVERRIDES, camera_opt="off",
+    )
+    state = LiveViewerState(trainer, spec, downscale=2)
+    info = state.info()
+    assert info["step"] == 0
+    c2w = _orbit_pose(info["center"], info["radius"])
+    before = state.render_pose(c2w)["rgb"]
+
+    server = serve(state, port=0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        trainer.train(4, num_rays_per_batch=64, log_every=0)
+        base = f"http://127.0.0.1:{server.server_address[1]}"
+        live = json.loads(
+            urllib.request.urlopen(base + "/info", timeout=60).read()
+        )
+        assert live["step"] == 4  # live step, not a checkpoint snapshot
+        after = state.render_pose(c2w)["rgb"]
+        assert np.isfinite(after).all()
+        assert not np.allclose(before, after)  # params actually moved
+    finally:
+        server.shutdown()

@@ -122,6 +122,11 @@ def main(argv: list[str] | None = None) -> Path:
                     choices=["default", "on", "off"],
                     help="override the method's camera-optimizer setting")
     ap.add_argument("--log-every", type=int, default=500)
+    ap.add_argument("--viewer-port", type=int, default=0,
+                    help="serve the live training viewer on this port "
+                         "(reference `vis=\"viewer\"` during training, "
+                         "`laplace_config.py:55`); 0 = off")
+    ap.add_argument("--viewer-downscale", type=int, default=4)
     ap.add_argument("--parser-kwargs", type=json.loads, default={},
                     help='JSON dict forwarded to the dataparser')
     ap.add_argument("--overrides", type=json.loads, default={},
@@ -169,6 +174,22 @@ def main(argv: list[str] | None = None) -> Path:
     from uncertainty_nerf_gs_tpu.utils.writer import ScalarWriter
 
     writer = ScalarWriter(out_dir / "events.jsonl")
+    if args.viewer_port:
+        import threading
+
+        from uncertainty_nerf_gs_tpu.scripts.viewer import (
+            LiveViewerState,
+            serve,
+        )
+
+        viewer_state = LiveViewerState(
+            trainer, spec, downscale=args.viewer_downscale
+        )
+        server = serve(viewer_state, port=args.viewer_port)
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+        print(f"live viewer: http://127.0.0.1:{server.server_address[1]} "
+              f"({viewer_state.width}x{viewer_state.height}, "
+              f"modes {viewer_state.modes})")
     total = args.max_num_iterations or spec.max_num_iterations
     save_every = args.steps_per_save or spec.steps_per_save
     t0 = time.perf_counter()

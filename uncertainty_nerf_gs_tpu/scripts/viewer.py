@@ -42,6 +42,26 @@ from uncertainty_nerf_gs_tpu.utils.images import colorize, to_u8
 _STD_KEYS = ("rgb_std", "uncertainty")  # nerfacto-family / active-splat
 
 
+def _orbit_from_cameras(base) -> tuple[list[float], float]:
+    """Initial orbit (center, radius) from a camera set: orbit CENTER is
+    the least-squares intersection of the cameras' optical axes (the point
+    they look at), not the mean camera position — the cameras sit on a
+    shell AROUND the scene, so their mean is hollow."""
+    pos = np.asarray(base.camera_to_worlds[:, :3, 3])
+    fwd = -np.asarray(base.camera_to_worlds[:, :3, 2])  # OpenGL -z
+    fwd = fwd / np.linalg.norm(fwd, axis=1, keepdims=True)
+    # sum_i (I - d_i d_i^T) c = sum_i (I - d_i d_i^T) p_i
+    A = np.zeros((3, 3))
+    b = np.zeros(3)
+    for p, d in zip(pos, fwd):
+        M = np.eye(3) - np.outer(d, d)
+        A += M
+        b += M @ p
+    center = np.linalg.lstsq(A, b, rcond=None)[0]
+    radius = float(np.linalg.norm(pos - center, axis=1).mean())
+    return center.tolist(), radius
+
+
 class ViewerState:
     """Loads a run and renders arbitrary poses through the method's own
     predictive path. Thread-safe via a render lock (XLA launches are
@@ -94,23 +114,7 @@ class ViewerState:
                 mc_samples=mc_samples, laplace_samples=laplace_samples,
             )
 
-        # initial orbit parameters from the eval cameras: orbit CENTER is
-        # the least-squares intersection of the cameras' optical axes (the
-        # point they look at), not the mean camera position — the cameras
-        # sit on a shell AROUND the scene, so their mean is hollow
-        pos = np.asarray(base.camera_to_worlds[:, :3, 3])
-        fwd = -np.asarray(base.camera_to_worlds[:, :3, 2])  # OpenGL -z
-        fwd = fwd / np.linalg.norm(fwd, axis=1, keepdims=True)
-        # sum_i (I - d_i d_i^T) c = sum_i (I - d_i d_i^T) p_i
-        A = np.zeros((3, 3))
-        b = np.zeros(3)
-        for p, d in zip(pos, fwd):
-            M = np.eye(3) - np.outer(d, d)
-            A += M
-            b += M @ p
-        center = np.linalg.lstsq(A, b, rcond=None)[0]
-        self.center = center.tolist()
-        self.radius = float(np.linalg.norm(pos - center, axis=1).mean())
+        self.center, self.radius = _orbit_from_cameras(base)
         probe = self.render_pose(np.asarray(
             base.camera_to_worlds[0], np.float32))
         self.modes = ["rgb"] + (["depth"] if "depth" in probe else []) + [
@@ -193,6 +197,76 @@ class ViewerState:
             "center": self.center,
             "radius": self.radius,
         }
+
+
+class LiveViewerState(ViewerState):
+    """Training-time live viewer over an in-progress trainer.
+
+    The reference runs nerfstudio's viser viewer DURING training
+    (``vis="viewer"``, `laplace_config.py:55`); this serves the same
+    orbit UI against the live trainer state — every frame renders from
+    the CURRENT params (the jitted render closure takes params as an
+    argument, so no recompile per step). Enabled by
+    ``unc-train --viewer-port N``; renders share the chip with training
+    launches (JAX dispatch is thread-safe; frames just interleave)."""
+
+    def __init__(self, trainer, spec, downscale: int = 4):
+        self.trainer = trainer
+        self.spec = spec
+        self.num_members = 1
+        self.run_dir = None
+        base = trainer.cameras
+        self.base_cameras = base
+        self.width = max(16, base.width // downscale)
+        self.height = max(16, base.height // downscale)
+        self.fx = float(base.fx[0]) * (self.width / base.width)
+        self.fy = float(base.fy[0]) * (self.height / base.height)
+        self.cx = self.width / 2.0
+        self.cy = self.height / 2.0
+        self.lock = threading.Lock()
+        self._windows = {}
+        self._splat_render_cam = None
+        self.chunk_fn = None
+        if spec.family != "splatfacto":
+            model = trainer.model
+
+            @jax.jit
+            def live_chunk(params, rb):
+                return model.apply(
+                    {"params": params}, rb, train=False,
+                    use_average_appearance=True,
+                )
+
+            def chunk_fn(rb):
+                params = {
+                    k: v for k, v in self.trainer.state.params.items()
+                    if k != "camera_opt"
+                }
+                return live_chunk(params, rb)
+
+            self.chunk_fn = chunk_fn
+        self.center, self.radius = _orbit_from_cameras(base)
+        probe = self.render_pose(
+            np.asarray(base.camera_to_worlds[0], np.float32)
+        )
+        self.modes = ["rgb"] + (["depth"] if "depth" in probe else []) + [
+            k for k in _STD_KEYS if k in probe
+        ]
+
+    @property
+    def step(self) -> int:  # live: info() reports the current train step
+        t = self.trainer
+        return int(t.step if hasattr(t, "step") else t.state.step)
+
+    @step.setter
+    def step(self, value):  # ViewerState's ctor assigns; live ignores it
+        pass
+
+    def render_png(self, c2w: np.ndarray, mode: str) -> bytes:
+        # the std/depth value range moves during training — re-window
+        # every frame instead of freezing at the first render
+        self._windows.pop(mode, None)
+        return super().render_png(c2w, mode)
 
 
 _PAGE = """<!doctype html>
