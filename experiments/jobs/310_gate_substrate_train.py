@@ -40,7 +40,7 @@ for seed in (0, 1):
     train_main([
         "active-nerfacto", "--data", str(WORK / "scene"), "--dataparser",
         "blender-data", "--output-dir", str(d), "--load-dir", str(d),
-        "--max-num-iterations", str(TOTAL), "--steps-per-save", "2000",
+        "--max-num-iterations", str(TOTAL), "--steps-per-save", "10000",
         "--seed", str(seed), "--log-every", "1000", "--camera-opt", "off",
         "--overrides", json.dumps(OVERRIDES),
     ])

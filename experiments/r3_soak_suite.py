@@ -149,7 +149,7 @@ def nerfacto_soak():
     train_main([
         "active-nerfacto", "--data", str(scene), "--dataparser",
         "blender-data", "--output-dir", str(d),
-        "--max-num-iterations", "30000", "--steps-per-save", "2000",
+        "--max-num-iterations", "30000", "--steps-per-save", "6000",
         "--steps-per-eval-image", "2000",
         "--seed", "0", "--log-every", "1000", "--camera-opt", "off",
         "--overrides", json.dumps(SOAK_OVERRIDES),
