@@ -48,6 +48,7 @@ def make_fakes():
     def fake_lookup(packed, positions, resolutions, table_size, num_members,
                     features_per_level=2, _real=E.packed_cell_lookup, **kw):
         levels = len(np.asarray(resolutions))
+        packed, _scales = E._unpack_quantized(packed)  # int8 dict form
         tables, _ = E._per_level_tables(packed, table_size, levels)
         # same lane-space math, idx forced to 0 via a 1-row table and
         # table_size=1 (dense index mod 1 -> 0): zero dynamic gather
@@ -59,6 +60,7 @@ def make_fakes():
                      num_members, features_per_level=2, max_stride=8,
                      _real=E.packed_cell_lookup_strided, **kw):
         levels = len(np.asarray(resolutions))
+        packed, _scales = E._unpack_quantized(packed)  # int8 dict form
         tables, _ = E._per_level_tables(packed, table_size, levels)
         one_rows = [t[0:1] for t in tables]
         return _real(one_rows, norm_positions, t_mid, resolutions,
