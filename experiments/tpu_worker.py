@@ -88,8 +88,15 @@ def _release_device_memory(job_globals: dict) -> None:
     buffers remain.
     """
     import gc
+    import sys as _sys
 
     job_globals.clear()
+    # Purge repo modules so the NEXT job re-imports current source — code
+    # edits land without worker restarts (process churn wedges the tunnel
+    # ~15 min). Jobs must not rely on repo-module state across jobs
+    # (persistent state lives on disk by contract).
+    for name in [m for m in _sys.modules if m.startswith("uncertainty_nerf_gs_tpu")]:
+        del _sys.modules[name]
     try:
         import jax
 

@@ -151,6 +151,13 @@ def resample_edges_tpu(
     out = pl.pallas_call(
         kernel,
         grid=(rp // block_r,),
+        # ~5 same-shape (BR, SP, N) intermediates stay live (mask + 4 masked
+        # bracket products); at block budgets near 2-3 MB Mosaic's stack can
+        # land a hair over the default 16 MB scoped-VMEM limit (observed:
+        # 16.02-16.17 MB at (32, 256, 128)). v5e VMEM is 128 MB; raise the
+        # scoped limit instead of shrinking blocks below the measured
+        # overhead knee (8 rays/step was per-step-overhead dominated).
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
         in_specs=[
             pl.BlockSpec((block_r, s), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
