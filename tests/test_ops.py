@@ -495,3 +495,41 @@ def test_fused_resampler_matches_xla_path():
 
         np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
         assert (np.diff(got, axis=1) >= -1e-6).all()  # sorted edges
+
+
+def test_cumsum_lanes_bf16_and_mxu_render_weights(rng, monkeypatch):
+    """bf16 inputs take the MXU prefix path (f32 round-trip, dtype
+    preserved), and render_weights on the forced-TPU path matches the
+    jnp.cumsum fallback to f32 tolerance — value AND gradient."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import uncertainty_nerf_gs_tpu.ops.backend as backend
+    from uncertainty_nerf_gs_tpu.ops import raymarch
+    from uncertainty_nerf_gs_tpu.ops.prefix import cumsum_lanes
+
+    x = jnp.asarray(rng.uniform(0, 1, (5, 200)).astype(np.float32))
+
+    monkeypatch.setattr(backend, "on_tpu", lambda: True)
+    got_bf16 = cumsum_lanes(x.astype(jnp.bfloat16))
+    assert got_bf16.dtype == jnp.bfloat16
+    ref = jnp.cumsum(x, axis=-1).astype(jnp.bfloat16)
+    np.testing.assert_allclose(
+        np.asarray(got_bf16, np.float32), np.asarray(ref, np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
+
+    dens = jnp.asarray(rng.uniform(0, 30, (9, 100)).astype(np.float32))
+    deltas = jnp.asarray(rng.uniform(0.01, 0.05, (9, 100)).astype(np.float32))
+
+    def loss_mxu(d):
+        return jnp.sum(raymarch.render_weights(d, deltas) ** 2)
+
+    v_mxu, g_mxu = jax.value_and_grad(loss_mxu)(dens)
+    monkeypatch.setattr(backend, "on_tpu", lambda: False)
+    v_ref, g_ref = jax.value_and_grad(loss_mxu)(dens)
+    np.testing.assert_allclose(float(v_mxu), float(v_ref), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(g_mxu), np.asarray(g_ref), rtol=1e-4, atol=1e-6
+    )

@@ -83,4 +83,9 @@ def cumsum_lanes(x: jax.Array) -> jax.Array:
         )
     if x.dtype == jnp.float32:
         return cumsum_lanes_f32(x)
+    if x.dtype in (jnp.bfloat16, jnp.float16):
+        # mixed-precision callers (render_weights under bf16 AMP parity
+        # mode): accumulate in f32 on the MXU, hand back the input dtype —
+        # strictly more accurate than a sequential low-precision cumsum.
+        return cumsum_lanes_f32(x.astype(jnp.float32)).astype(x.dtype)
     return jnp.cumsum(x, axis=-1)

@@ -17,6 +17,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from uncertainty_nerf_gs_tpu.ops.prefix import cumsum_lanes
+
 
 def render_weights(densities: jax.Array, deltas: jax.Array) -> jax.Array:
     """Compositing weights w_i = alpha_i * T_i from densities.
@@ -34,8 +36,12 @@ def render_weights(densities: jax.Array, deltas: jax.Array) -> jax.Array:
     """
     tau = densities * deltas
     alphas = 1.0 - jnp.exp(-tau)
-    # exclusive cumulative sum of optical depth
-    accum = jnp.cumsum(tau, axis=-1)
+    # exclusive cumulative sum of optical depth. Lane-axis jnp.cumsum
+    # lowers on TPU as a sequential per-bin shift chain — at the proposal
+    # stage's (32k rays, 256 bins) that is 256 full-array passes; the
+    # MXU-blocked prefix (ops/prefix.py) is one triangular matmul and its
+    # VJP is another, so training gradients ride the MXU too.
+    accum = cumsum_lanes(tau)
     trans = jnp.exp(-(accum - tau))
     return alphas * trans
 
@@ -68,7 +74,7 @@ def render_expected_depth(
 
 def render_median_depth(weights: jax.Array, steps: jax.Array) -> jax.Array:
     """Depth where cumulative weight first reaches 0.5 (R,)."""
-    cum = jnp.cumsum(weights, axis=-1)
+    cum = cumsum_lanes(weights)
     split = jnp.full(weights.shape[:-1] + (1,), 0.5, weights.dtype)
     idx = jax.vmap(lambda c, s: jnp.searchsorted(c, s, side="left"))(
         cum.reshape(-1, cum.shape[-1]), split.reshape(-1, 1)
@@ -108,7 +114,7 @@ def _outer_measure(
     envelope bin edges; w1: (R, S1) envelope weights. Returns (R, S0).
     """
     cw1 = jnp.concatenate(
-        [jnp.zeros_like(w1[..., :1]), jnp.cumsum(w1, axis=-1)], axis=-1
+        [jnp.zeros_like(w1[..., :1]), cumsum_lanes(w1)], axis=-1
     )  # (R, S1+1)
 
     def per_ray(t0r, t1r, cw1r):
@@ -151,8 +157,8 @@ def distortion_loss(sdist: jax.Array, weights: jax.Array) -> jax.Array:
     mids = 0.5 * (sdist[..., 1:] + sdist[..., :-1])
     deltas = sdist[..., 1:] - sdist[..., :-1]
     # pairwise term: 2 * sum_i w_i * (m_i * csum_{j<i} w_j - csum_{j<i} w_j m_j)
-    cw = jnp.cumsum(weights, axis=-1)
-    cwm = jnp.cumsum(weights * mids, axis=-1)
+    cw = cumsum_lanes(weights)
+    cwm = cumsum_lanes(weights * mids)
     cw_ex = cw - weights
     cwm_ex = cwm - weights * mids
     pairwise = 2.0 * jnp.sum(weights * (mids * cw_ex - cwm_ex), axis=-1)
