@@ -354,6 +354,42 @@ def test_rasterize_pallas_matches_xla(rng):
         )
 
 
+def test_rasterize_matmul_matches_xla(rng):
+    """MXU-matmul compositing (log-space transmittance prefix) == XLA map
+    path, values and grads."""
+    proj, opac, payload, w, h = _random_scene(rng, n=60)
+
+    kw = dict(capacity=128, tile_chunk=4)
+    out_x = rasterize_gaussians(proj, opac, payload, w, h, backend="xla", **kw)
+    out_m = rasterize_gaussians(
+        proj, opac, payload, w, h, backend="matmul", **kw
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_m.image), np.asarray(out_x.image), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_m.alpha), np.asarray(out_x.alpha), atol=2e-5
+    )
+    assert int(out_m.max_overflow) == int(out_x.max_overflow)
+
+    def loss(backend, mu, op, pv):
+        out = rasterize_gaussians(
+            proj._replace(means2d=mu), op, pv, w, h, backend=backend, **kw
+        )
+        return jnp.sum(out.image**2) + jnp.sum(out.alpha * 0.3)
+
+    gx = jax.grad(functools.partial(loss, "xla"), argnums=(0, 1, 2))(
+        proj.means2d, opac, payload
+    )
+    gm = jax.grad(functools.partial(loss, "matmul"), argnums=(0, 1, 2))(
+        proj.means2d, opac, payload
+    )
+    for a, b, name in zip(gm, gx, ("means2d", "opac", "payload")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3, err_msg=name
+        )
+
+
 def test_rasterize_pallas_chunked_saturated(rng):
     """Chunk boundaries + transmittance early-exit: 300 near-opaque
     Gaussians stacked on a small image at capacity 512 crosses multiple

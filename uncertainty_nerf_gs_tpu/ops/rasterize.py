@@ -28,10 +28,12 @@ row-major), so no scatter into the framebuffer is needed.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from uncertainty_nerf_gs_tpu.ops.gaussians import Projection
 from uncertainty_nerf_gs_tpu.ops.prefix import cumsum_lanes
@@ -49,6 +51,80 @@ class RasterOutputs(NamedTuple):
 
 def _pad_to_multiple(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+@functools.cache
+def _strict_lower(k: int) -> np.ndarray:
+    """(K, K) strictly-lower-triangular ones: L @ x = exclusive prefix sum
+    along K. Host constant (a jnp array cached across traces would leak
+    tracers)."""
+    return np.tril(np.ones((k, k), np.float32), k=-1)
+
+
+def composite_tiles_mm(
+    packed: jax.Array, pix: jax.Array, tile_chunk: int = 64
+) -> tuple[jax.Array, jax.Array]:
+    """Batched tile compositing with the transmittance scan on the MXU.
+
+    The sequential-looking part of alpha compositing is the exclusive
+    cumprod of (1 - alpha) along the depth-ordered K axis. In log space
+    that is an exclusive prefix SUM, i.e. one strictly-lower-triangular
+    (K, K) matmul — so the entire composite becomes three MXU contractions
+    per tile chunk (prefix, channel blend, and their transposes in the
+    autodiff backward) plus elementwise VPU work. Exact semantics (alpha
+    clamped at ``ALPHA_CLAMP`` keeps log1p finite), plain autodiff — no
+    custom VJP, no sequential K loop, no per-tile early exits needed
+    because the MXU eats the full (K, P) block faster than the exit logic
+    saved on the VPU (measured vs `rasterize_pallas.composite_tiles`).
+
+    packed: (T, K, 6+C) rows [mu(2), conic(3), opacity, payload(C)] with
+    dead slots at opacity 0; pix: (T, P, 2) pixel centers.
+    Returns ((T, P, C) images, (T, P) alphas).
+    """
+    t, k, d = packed.shape
+    c = d - 6
+    lower = _strict_lower(k)
+
+    def chunk_fn(args):
+        pk, px = args  # (B, K, D), (B, P, 2)
+        dx = px[:, None, :, 0] - pk[:, :, None, 0]  # (B, K, P)
+        dy = px[:, None, :, 1] - pk[:, :, None, 1]
+        ca, cb, cc = pk[:, :, None, 2], pk[:, :, None, 3], pk[:, :, None, 4]
+        sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+        alpha = jnp.minimum(ALPHA_CLAMP, pk[:, :, None, 5] * jnp.exp(-sigma))
+        alpha = jnp.where((sigma >= 0.0) & (alpha >= ALPHA_MIN), alpha, 0.0)
+        # exclusive prefix sum over K on the MXU -> transmittance
+        log_t = jnp.einsum(
+            "kj,bjp->bkp",
+            lower,
+            jnp.log1p(-alpha),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        w = alpha * jnp.exp(log_t)  # (B, K, P)
+        img = jnp.einsum(
+            "bkp,bkc->bpc",
+            w,
+            pk[:, :, 6:],
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        return img, jnp.sum(w, axis=1)
+
+    pad = _pad_to_multiple(t, tile_chunk) - t
+    if pad:
+        packed = jnp.concatenate([packed, jnp.zeros((pad, k, d))], 0)
+        pix = jnp.concatenate([pix, jnp.zeros((pad,) + pix.shape[1:])], 0)
+    imgs, alphas = jax.lax.map(
+        chunk_fn,
+        (
+            packed.reshape(-1, tile_chunk, k, d),
+            pix.reshape(-1, tile_chunk, *pix.shape[1:]),
+        ),
+    )
+    return imgs.reshape(-1, pix.shape[1], c)[:t], alphas.reshape(
+        -1, pix.shape[1]
+    )[:t]
 
 
 def rasterize_gaussians(
@@ -71,8 +147,10 @@ def rasterize_gaussians(
 
     backend: "xla" composites inside the chunked tile map; "pallas" packs
     per-tile rows and runs the fused Pallas compositing kernel with its
-    analytic backward (`ops/rasterize_pallas.py`); "auto" picks pallas on
-    TPU.
+    analytic backward (`ops/rasterize_pallas.py`); "matmul" packs the same
+    rows and composites with the transmittance scan as one MXU triangular
+    matmul (`composite_tiles_mm`); "auto" picks the fastest measured TPU
+    backend (matmul) on TPU.
     """
     if backend == "auto":
         from uncertainty_nerf_gs_tpu.ops.backend import on_tpu
@@ -199,14 +277,9 @@ def rasterize_gaussians(
         [tile_ids, jnp.zeros((pad_tiles - num_tiles,), jnp.int32)]
     ).reshape(-1, tile_chunk)
 
-    if backend == "pallas":
-        from uncertainty_nerf_gs_tpu.ops.rasterize_pallas import composite_tiles
-
+    if backend in ("pallas", "matmul"):
         idx_all, overflows = jax.lax.map(jax.vmap(select_fn), tids)
         idx_all = idx_all.reshape(pad_tiles, capacity)
-        # per-tile live rows: slots are front-packed in depth order, pad
-        # index n marks empty — the kernel's chunk loop stops at the count
-        counts = jnp.sum(idx_all < n, axis=1).astype(jnp.int32)
         # contiguous packed rows: [mu(2), conic(3), opacity, payload(C)]
         packed_src = jnp.concatenate(
             [means2d_p, conics_p, opac_p[:, None], payl_p], axis=1
@@ -219,7 +292,18 @@ def rasterize_gaussians(
         pix = pix_off[None] + jnp.stack([x0, y0], -1)[:, None, :].astype(
             jnp.float32
         )  # (T, P, 2)
-        imgs, alphas = composite_tiles(packed, pix, counts)
+        if backend == "matmul":
+            imgs, alphas = composite_tiles_mm(packed, pix, tile_chunk)
+        else:
+            from uncertainty_nerf_gs_tpu.ops.rasterize_pallas import (
+                composite_tiles,
+            )
+
+            # per-tile live rows: slots are front-packed in depth order,
+            # pad index n marks empty — the kernel's chunk loop stops at
+            # the count
+            counts = jnp.sum(idx_all < n, axis=1).astype(jnp.int32)
+            imgs, alphas = composite_tiles(packed, pix, counts)
         imgs = imgs[:num_tiles]
         alphas = alphas[:num_tiles]
     else:
