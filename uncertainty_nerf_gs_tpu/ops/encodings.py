@@ -436,6 +436,45 @@ def _unpack_quantized(packed):
     return packed, None
 
 
+def fold_packed_tables(packed, fold: int, levels: int | None = None):
+    """Fold ``fold`` cells into each eval-table row: (T, lanes) ->
+    (T/fold, lanes*fold), lane group selected by ``idx % fold`` at lookup.
+
+    EXACT layout change (same values, different addressing) that moves the
+    gather operand under XLA's size cliff: the r3 gather study measured the
+    dynamic row-gather lowering switching from 150-220M rows/s (<=2^17-row
+    operands) to ~73M rows/s at the 2^19 main grid, independent of the
+    touched working set — so a 4-fold 2^19 table gathers like a 2^17 one
+    at 4x fetched bytes (bandwidth headroom: ~25M gathers/render x 512 B
+    << chip bandwidth). Probe: experiments/jobs/323_gather_fold.py.
+
+    Accepts stacked (L, T, lanes) arrays, per-level lists, or the int8
+    dict form; levels whose row count does not divide ``fold`` keep
+    fold=1. Returns the {"tables", "scales"} dict form (scales None for
+    unquantized input). No fold metadata is stored: the lookups derive
+    each level's fold from its lane width vs the member payload's base
+    lane width — static shape information, safe under jit.
+    """
+    tables, scales = _unpack_quantized(packed)
+    if not isinstance(tables, (list, tuple)):
+        levels = tables.shape[0] if levels is None else levels
+    tables, _ = _per_level_tables(
+        tables, 0, levels if levels is not None else len(tables)
+    )
+    out_tables = []
+    for t in tables:
+        rows, lanes = t.shape
+        f = fold if fold > 1 and rows % fold == 0 else 1
+        out_tables.append(t.reshape(rows // f, lanes * f) if f > 1 else t)
+    return {"tables": out_tables, "scales": scales}
+
+
+def _base_lanes(num_members: int, features_per_level: int) -> int:
+    """Lane width of one unfolded eval row (pack_member_cell_tables)."""
+    payload = 8 * num_members * features_per_level
+    return ((payload + 127) // 128) * 128
+
+
 def packed_cell_lookup(
     packed,
     positions: jax.Array,
@@ -464,14 +503,26 @@ def packed_cell_lookup(
     levels = len(np.asarray(resolutions))
     packed, scales = _unpack_quantized(packed)
     tables, sizes = _per_level_tables(packed, table_size, levels)
-    lanes = tables[0].shape[-1]
+    lanes = _base_lanes(m, feats)
     n = positions.shape[0]
     corner_b, corner_s = _lerp_matrices(lanes, mf, mf)
 
     outs = []
     for lvl, res in enumerate(np.asarray(resolutions)):
         idx, w = cell_indices(positions, int(res), sizes[lvl])
-        rows = tables[lvl][idx]  # (n, lanes)
+        f = tables[lvl].shape[-1] // lanes  # fold factor (static shape)
+        if f > 1:
+            # folded rows (see `fold_packed_tables`): gather idx//f, then
+            # one-hot select the cell's lane group — the multiply+tiny-sum
+            # fuses into the gather consumer, no extra HBM pass
+            rows = tables[lvl][idx // f]  # (n, lanes*f)
+            cd = jnp.float32 if scales is not None else rows.dtype
+            oh = jax.nn.one_hot(idx % f, f, dtype=cd)
+            rows = jnp.sum(
+                rows.reshape(n, f, lanes).astype(cd) * oh[:, :, None], axis=1
+            )  # (n, lanes)
+        else:
+            rows = tables[lvl][idx]  # (n, lanes)
         if scales is not None:  # int8 rows: dequant scale rides on wl
             wl = (w @ corner_b) * scales[lvl]  # (n, lanes) f32
             rows = rows.astype(jnp.float32)
@@ -521,15 +572,17 @@ def packed_cell_lookup_strided(
     feats = features_per_level
     m = num_members
     r, s, _ = norm_positions.shape
+    levels = len(np.asarray(resolutions))
     packed, scales = _unpack_quantized(packed)
-    tables, sizes = _per_level_tables(
-        packed, table_size, len(np.asarray(resolutions))
-    )
+    tables, sizes = _per_level_tables(packed, table_size, levels)
 
     def level_packed(lvl):
-        if scales is None:
-            return [tables[lvl]]
-        return {"tables": [tables[lvl]], "scales": [scales[lvl]]}
+        # folded tables pass through by shape (packed_cell_lookup derives
+        # the fold factor from lane width; no metadata to thread)
+        return {
+            "tables": [tables[lvl]],
+            "scales": None if scales is None else [scales[lvl]],
+        }
 
     outs = []
     for lvl, res in enumerate(np.asarray(resolutions)):

@@ -42,6 +42,7 @@ from uncertainty_nerf_gs_tpu.models.nerfacto import NerfactoConfig, NerfactoMode
 from uncertainty_nerf_gs_tpu.ops import raymarch
 from uncertainty_nerf_gs_tpu.ops.encodings import (
     dense_corner_to_cell_rows,
+    fold_packed_tables,
     hash_grid_resolutions,
     hybrid_is_dense,
     pack_member_cell_tables,
@@ -190,17 +191,25 @@ def _pack_encoding(
 
 
 def pack_ensemble_tables(
-    model: NerfactoModel, stacked_params: Any, table_dtype: Any = None
+    model: NerfactoModel,
+    stacked_params: Any,
+    table_dtype: Any = None,
+    table_fold: int = 1,
 ) -> dict[str, Any]:
     """One-time repack of stacked member grid tables into fused eval rows.
 
     Requires ``grid_layout`` in {"cell", "hybrid"}. Returns
     ``{"field": (L, T, lanes) or per-level list, "proposal_i": ... or None
     (mlp proposals)}``.
+
+    ``table_fold`` > 1 folds that many cells into each row (EXACT layout
+    change; see `fold_packed_tables` — moves the big main-grid gather
+    operand under XLA's size cliff).
     """
     cfg = model.config
     layout = cfg.grid_layout
     assert layout in ("cell", "hybrid"), "fused ensemble needs cell rows"
+    levels = {"field": cfg.num_levels}
     out: dict[str, Any] = {}
     out["field"] = _pack_encoding(
         stacked_params["field"]["encoding"],
@@ -217,8 +226,12 @@ def pack_ensemble_tables(
             out[f"proposal_{i}"] = _pack_encoding(
                 p["encoding"], res_i, tsize, _PROP_FEATS, layout, table_dtype
             )
+            levels[f"proposal_{i}"] = len(res_i)
         else:
             out[f"proposal_{i}"] = None  # mlp proposal: gather-free
+    if table_fold > 1:
+        for k, n_lvl in levels.items():
+            out[k] = fold_packed_tables(out[k], table_fold, n_lvl)
     return out
 
 
