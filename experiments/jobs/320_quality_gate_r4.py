@@ -32,9 +32,7 @@ for m in members:
 VARIANTS = [
     ("bf16_exact", "bf16", 0.0),
     ("int8_exact", "int8", 0.0),
-    ("bf16_stride4", "bf16", 4.0),
     ("int8_stride2", "int8", 2.0),
-    ("int8_stride3", "int8", 3.0),
     ("int8_stride4", "int8", 4.0),
     ("int8_stride8", "int8", 8.0),
 ]

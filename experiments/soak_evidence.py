@@ -22,6 +22,15 @@ def summarize(run_dir: Path, label: str = "") -> dict:
             line = line.strip()
             if line:
                 rows.append(json.loads(line))
+    if rows and "name" in rows[0] and "value" in rows[0]:
+        # ScalarWriter long format {"step", "name", "value", "wall"}:
+        # pivot to wide per-step rows
+        wide: dict[int, dict] = {}
+        for r in rows:
+            wide.setdefault(r["step"], {"step": r["step"]})[r["name"]] = r[
+                "value"
+            ]
+        rows = [wide[s] for s in sorted(wide)]
     steps = [r["step"] for r in rows]
     keys = sorted({k for r in rows for k in r if k != "step"})
     curves: dict[str, list] = {}
