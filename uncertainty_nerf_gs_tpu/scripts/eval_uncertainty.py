@@ -256,6 +256,7 @@ def build_ensemble_render_fn(
     seed: int = 0,
     main_stride_scale: float = 0.0,
     table_dtype: str = "bf16",
+    table_fold: int = 1,
 ):
     """Eval-time deep ensemble: load M runs, stack params, vmapped fan-out +
     epi/alea combination (`ensemble_pipeline.py:144-191`).
@@ -287,7 +288,9 @@ def build_ensemble_render_fn(
 
         return render, eval_outputs, eval_images
 
-    chunk_fn = build_ensemble_chunk_fn(trainers, main_stride_scale, table_dtype)
+    chunk_fn = build_ensemble_chunk_fn(
+        trainers, main_stride_scale, table_dtype, table_fold
+    )
     render = _nerfacto_full_image_renderer(base, chunk_fn, eval_outputs.cameras)
     return render, eval_outputs, eval_images
 
@@ -318,7 +321,10 @@ def build_ensemble_splat_render_cam(trainers, width: int, height: int):
 
 
 def build_ensemble_chunk_fn(
-    trainers, main_stride_scale: float = 0.0, table_dtype: str = "bf16"
+    trainers,
+    main_stride_scale: float = 0.0,
+    table_dtype: str = "bf16",
+    table_fold: int = 1,
 ):
     """nerfacto-family ensemble chunk renderer ``rb -> combined outputs``
     (fused shared-gather path when the layout supports it).
@@ -348,7 +354,9 @@ def build_ensemble_chunk_fn(
         )
 
         dt = {"bf16": jnp.bfloat16, "f32": None, "int8": jnp.int8}[table_dtype]
-        packed = pack_ensemble_tables(base.model, stacked, table_dtype=dt)
+        packed = pack_ensemble_tables(
+            base.model, stacked, table_dtype=dt, table_fold=table_fold
+        )
         fused = build_fused_ensemble_render(
             base.model, main_stride_scale=main_stride_scale
         )
@@ -396,6 +404,10 @@ def main(argv: list[str] | None = None) -> dict:
                     choices=("bf16", "f32", "int8"),
                     help="fused ensemble eval-table precision (int8 = "
                          "quantized rows, fastest gathers)")
+    ap.add_argument("--table-fold", type=int, default=1,
+                    help="fused eval tables: cells folded per gather row "
+                         "(EXACT addressing change; moves the big-grid "
+                         "gather operand under XLA's size cliff)")
     ap.add_argument("--main-stride-scale", type=float, default=0.0,
                     help="fused-ensemble render: evaluate the main field's "
                          "coarse grid levels at strided ray anchors "
@@ -415,6 +427,7 @@ def main(argv: list[str] | None = None) -> dict:
             run_dirs,
             main_stride_scale=args.main_stride_scale,
             table_dtype=args.table_dtype,
+            table_fold=args.table_fold,
         )
         method_name = "ensemble"
         ckpt = ";".join(str(latest_checkpoint(d)) for d in run_dirs)
@@ -438,6 +451,8 @@ def main(argv: list[str] | None = None) -> dict:
         # the fused ensemble render ships strided coarse PROPOSAL levels by
         # default (build_fused_ensemble_render(proposal_anchor_stride=True))
         "proposal_anchor_stride": len(run_dirs) > 1,
+        # exact addressing change, recorded for self-description anyway
+        "table_fold": args.table_fold if len(run_dirs) > 1 else 1,
         "n_members": len(run_dirs),
     }
     options = EvalOptions(
