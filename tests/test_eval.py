@@ -105,8 +105,15 @@ def test_full_eval_loop_and_json(tmp_path, rng, fake_pred):
     ev.write_benchmark_json(opts.output_path, res, opts)
     with open(opts.output_path) as f:
         payload = json.load(f)
-    # schema of eval_uncertainty.py:1162-1169
-    assert set(payload) == {"experiment_name", "method_name", "checkpoint", "results"}
+    # schema of eval_uncertainty.py:1162-1169, plus the r4 self-describing
+    # "approximations" block (VERDICT r3 #8)
+    assert set(payload) >= {
+        "experiment_name", "method_name", "checkpoint", "results"
+    }
+    assert set(payload) <= {
+        "experiment_name", "method_name", "checkpoint", "results",
+        "approximations",
+    }
     assert payload["method_name"] == "active-nerfacto"
     # artifacts on disk (reference file names, eval_uncertainty.py:209-301)
     for name in (
