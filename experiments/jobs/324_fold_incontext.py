@@ -10,6 +10,11 @@ quality gate needed.
 Writes /root/repo/evidence/fold_incontext_r4.json.
 """
 
+import sys as _sys
+for _k in [k for k in _sys.modules if k.startswith("uncertainty_nerf_gs_tpu")]:
+    del _sys.modules[_k]  # long-lived worker: force fresh package code
+
+
 import json
 from pathlib import Path
 

@@ -17,6 +17,11 @@ Measures:
 Writes /root/repo/evidence/raster_matmul_r4.json.
 """
 
+import sys as _sys
+for _k in [k for k in _sys.modules if k.startswith("uncertainty_nerf_gs_tpu")]:
+    del _sys.modules[_k]  # long-lived worker: force fresh package code
+
+
 import json
 import time
 from pathlib import Path

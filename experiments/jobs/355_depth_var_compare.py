@@ -5,6 +5,11 @@ run the reference-indirection oracle vs the in-pass moments on the trained
 Writes /root/repo/evidence/depth_var_compare_r4.json.
 """
 
+import sys as _sys
+for _k in [k for k in _sys.modules if k.startswith("uncertainty_nerf_gs_tpu")]:
+    del _sys.modules[_k]  # long-lived worker: force fresh package code
+
+
 import sys
 from pathlib import Path
 
