@@ -83,6 +83,9 @@ def composite_tiles_mm(
     """
     t, k, d = packed.shape
     c = d - 6
+    # small images (training renders) have fewer tiles than the chunk —
+    # don't pad 16 tiles up to 64 and composite 4x dead work
+    tile_chunk = min(tile_chunk, _pad_to_multiple(t, 8))
     lower = _strict_lower(k)
 
     def chunk_fn(args):
