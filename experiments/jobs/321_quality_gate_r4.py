@@ -14,11 +14,6 @@ ADVICE r3 low). A passing variant may be promoted to the bench.py headline
 citing this file.
 """
 
-import sys as _sys
-for _k in [k for k in _sys.modules if k.startswith("uncertainty_nerf_gs_tpu")]:
-    del _sys.modules[_k]  # long-lived worker: force fresh package code
-
-
 import json
 from pathlib import Path
 
@@ -42,17 +37,34 @@ VARIANTS = [
     ("int8_stride8", "int8", 8.0),
 ]
 
+import jax
+
 results = {}
 for name, dtype, stride in VARIANTS:
-    out = eval_main([
-        "--load-config", members[0], "--load-config", members[1],
-        "--output-path", str(WORK / f"metrics_r4_{name}.json"),
-        "--table-dtype", dtype, "--main-stride-scale", str(stride),
-    ])
-    r = out["results"]
+    mpath = WORK / f"metrics_r4_{name}.json"
+    if mpath.exists():
+        # resumable across the RESOURCE_EXHAUSTED cascade: reuse the
+        # committed per-variant metrics from the earlier partial run
+        r = json.loads(mpath.read_text())["results"]
+        print(name, "psnr", r.get("psnr"), "(cached)", flush=True)
+    else:
+        out = eval_main([
+            "--load-config", members[0], "--load-config", members[1],
+            "--output-path", str(mpath),
+            "--table-dtype", dtype, "--main-stride-scale", str(stride),
+        ])
+        r = out["results"]
+        print(name, "psnr", r.get("psnr"), flush=True)
+        # each eval builds fresh packed tables + jit graphs; without this
+        # the 4th in-process variant OOM'd the chip (r4 cascade)
+        jax.clear_caches()
+        for arr in jax.live_arrays():
+            try:
+                arr.delete()
+            except Exception:
+                pass
     results[name] = {k: r[k] for k in sorted(r)
                      if isinstance(r[k], (int, float))}
-    print(name, "psnr", r.get("psnr"), flush=True)
 
 base = results["bf16_exact"]
 for name, r in results.items():
@@ -85,4 +97,4 @@ results["_meta"] = {
 out_path = Path("/root/repo/evidence/int8_stride_quality_r4.json")
 out_path.write_text(json.dumps(results, indent=2) + "\n")
 print("wrote", out_path, flush=True)
-print("JOB_320_DONE", flush=True)
+print("JOB_321_DONE", flush=True)
