@@ -31,8 +31,12 @@ The headline JSON line carries a "config" field naming the selected
 variant. The fastest known config is additionally reported as a secondary
 metric suffixed `_unvalidated` when its gate did not pass. Round 3's
 int8+stride8 headline FAILED its gate (evidence/int8_stride_quality_r3
-.json: the stride-8 main-field lerp reorders the uncertainty map,
-relative AUSE +29%), which is what this policy exists to prevent.
+.json: relative AUSE +29%) — but that gate ran on a 2k-iter PSNR-13.8
+near-untrained substrate. Re-gated at the converged 12k substrate
+(round 4), every int8/stride variant PASSES the one-sided criterion
+(int8_stride8: dPSNR +0.44 dB, worst AUSE degradation +0.97%), so the
+fast config and the headline config coincide again — this time with
+evidence that says so.
 """
 
 from __future__ import annotations
