@@ -229,7 +229,15 @@ def bench_rasterizer() -> dict:
         render_splat,
     )
 
-    cfg = SplatfactoConfig(capacity=1 << 16, num_random=65_000, random_scale=1.5)
+    # rasterize_capacity=384: fwd+bwd sweet spot of the r4 sweep (51.6 ms
+    # vs 59.4 at 512, evidence/raster_sweep_r4.json) with comparable
+    # reported per-tile overflow (8859 vs 8347 at this adversarially dense
+    # random scene); the matmul backend measured slower here (80 ms,
+    # evidence/raster_matmul_r4.json) so auto stays pallas
+    cfg = SplatfactoConfig(
+        capacity=1 << 16, num_random=65_000, random_scale=1.5,
+        rasterize_capacity=384,
+    )
     params, state = init_gaussians(jax.random.PRNGKey(0), cfg)
     c2w = jnp.asarray(
         [[1.0, 0, 0, 0], [0, 1.0, 0, 0], [0, 0, 1.0, 4.0]], jnp.float32
