@@ -354,6 +354,42 @@ def test_rasterize_pallas_matches_xla(rng):
         )
 
 
+def test_depth_var_indirection_matches_oracle(splat_setup):
+    """depth_var_mode="indirection" reproduces the reference-indirection
+    oracle (experiments/depth_var_oracle.py) on a random scene, and its
+    depth output is unchanged from the moments mode."""
+    import dataclasses
+    import sys as _s
+    from pathlib import Path
+
+    _s.path.insert(0, str(Path(__file__).resolve().parents[1] / "experiments"))
+    from depth_var_oracle import depth_var_reference_indirection
+
+    cfg, params, state = splat_setup
+    cfg_ind = dataclasses.replace(cfg, depth_var_mode="indirection")
+    c2w = jnp.asarray(
+        [[1.0, 0, 0, 0], [0, 1.0, 0, 0], [0, 0, 1.0, 3.0]], jnp.float32
+    )
+    args = (params, state.alive, c2w, 40.0, 40.0, 32.0, 24.0, 64, 48)
+    out_m = sf.render_splat(*args, cfg)
+    out_i = sf.render_splat(*args, cfg_ind)
+    oracle = depth_var_reference_indirection(*args, cfg_ind)
+    np.testing.assert_allclose(
+        np.asarray(out_i["depth"]), np.asarray(out_m["depth"]), atol=1e-6
+    )
+    covered = np.asarray(out_i["accumulation"]) > 0
+    np.testing.assert_allclose(
+        np.asarray(out_i["depth_var"])[covered],
+        np.asarray(oracle["depth_var"])[covered],
+        rtol=1e-4, atol=1e-5,
+    )
+    # the two semantics genuinely differ (they are near-uncorrelated on
+    # trained models — evidence/depth_var_compare_r4.json)
+    assert float(np.abs(
+        np.asarray(out_i["depth_var"]) - np.asarray(out_m["depth_var"])
+    ).max()) > 1e-4
+
+
 def test_rasterize_matmul_matches_xla(rng):
     """MXU-matmul compositing (log-space transmittance prefix) == XLA map
     path, values and grads."""

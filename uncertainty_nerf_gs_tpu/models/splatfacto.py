@@ -81,6 +81,16 @@ class SplatfactoConfig:
     rasterize_capacity: int = 512
     tile_chunk: int = 64
     rasterize_backend: str = "auto"  # auto | pallas | xla (ops/rasterize.py)
+    # depth-variance semantics: "moments" = in-pass E[d^2]-E[d]^2 (one
+    # rasterize, the default); "indirection" = the reference's exact
+    # two-pass trick — fetch the composited depth D at each Gaussian's
+    # floored center, re-rasterize (d_i - D)^2
+    # (`activesplatfacto_model.py:322-356`, gsplat issue #87). The two
+    # produce essentially UNCORRELATED maps on a trained model (mean map
+    # corr 0.03, reference ~20x larger magnitude —
+    # evidence/depth_var_compare_r4.json), so runs that must match the
+    # reference's depth-AUSE numbers should select "indirection".
+    depth_var_mode: str = "moments"  # moments | indirection
     # active-splatfacto (reference `activesplatfacto_model.py:30-46`)
     uncertainty_channels: int = 0
     beta_min: float = 0.01
@@ -315,7 +325,33 @@ def render_splat(
     far_fill = jnp.max(jnp.where(covered, d1, 0.0))
     d1 = jnp.where(covered, d1, far_fill)
     d2 = jnp.where(covered, d2, far_fill**2)
-    depth_var = jnp.maximum(d2 - d1**2, 0.0) + 1e-5
+    if config.depth_var_mode == "indirection":
+        # reference's exact two-pass depth variance (see config field):
+        # D is already in hand (d1), so one extra rasterize suffices
+        xy = jnp.floor(proj.means2d).astype(jnp.int32)
+        valid_pix = (
+            (xy[:, 0] > 0) & (xy[:, 0] < width)
+            & (xy[:, 1] > 0) & (xy[:, 1] < height)
+        )  # strictly > 0: reference quirk preserved
+        fetched = d1[
+            jnp.clip(xy[:, 1], 0, height - 1), jnp.clip(xy[:, 0], 0, width - 1)
+        ]
+        delta = jnp.where(valid_pix, depth - fetched, depth)
+        out2 = rasterize_gaussians(
+            proj,
+            opac,
+            (delta**2)[:, None],
+            width,
+            height,
+            capacity=config.rasterize_capacity,
+            tile_chunk=config.tile_chunk,
+            backend=config.rasterize_backend,
+        )
+        raw2 = out2.image[..., 0]
+        # reference fill: uncovered pixels get the RAW composite's max
+        depth_var = jnp.where(covered, raw2 / alpha_safe, jnp.max(raw2))
+    else:
+        depth_var = jnp.maximum(d2 - d1**2, 0.0) + 1e-5
 
     outputs: dict[str, Any] = {
         "rgb": jnp.clip(rgb, 0.0, 1.0),
