@@ -130,35 +130,32 @@ def composite_tiles_mm(
     )[:t]
 
 
-def rasterize_gaussians(
+class SelectPack(NamedTuple):
+    """Materialized per-tile selection+pack (the pallas/matmul backends'
+    input): packed (T_pad, K, 6+C) depth-sorted rows, pix (T_pad, P, 2)
+    pixel centers, counts (T_pad,) live rows, overflows (chunks, tile_chunk)
+    per-tile dropped-hit counts, num_tiles (un-padded T)."""
+
+    packed: jax.Array
+    pix: jax.Array
+    counts: jax.Array
+    overflows: jax.Array
+    num_tiles: int
+
+
+def _selection(
     proj: Projection,
     opacities: jax.Array,
     payload: jax.Array,
     width: int,
     height: int,
-    capacity: int = 512,
-    tile_chunk: int = 64,
-    backend: str = "auto",
-    row_capacity: int | None = None,
-) -> RasterOutputs:
-    """Composite (N,) projected Gaussians carrying a (N, C) payload.
-
-    opacities: (N,) post-sigmoid opacity (callers fold in the projection
-    ``compensation``). capacity: static per-tile Gaussian budget; overflow
-    beyond it is dropped far-to-near (reported in ``max_overflow`` — callers
-    should log it, SURVEY quality rule "no silent caps").
-
-    backend: "xla" composites inside the chunked tile map; "pallas" packs
-    per-tile rows and runs the fused Pallas compositing kernel with its
-    analytic backward (`ops/rasterize_pallas.py`); "matmul" packs the same
-    rows and composites with the transmittance scan as one MXU triangular
-    matmul (`composite_tiles_mm`); "auto" picks the fastest measured TPU
-    backend (matmul) on TPU.
-    """
-    if backend == "auto":
-        from uncertainty_nerf_gs_tpu.ops.backend import on_tpu
-
-        backend = "pallas" if on_tpu() else "xla"
+    capacity: int,
+    row_capacity: int | None,
+) -> dict:
+    """Shared selection machinery: depth sort, two-level cull, per-tile
+    first-K compaction. Returns closures + padded source arrays consumed
+    by both the fused-composite (`select_and_pack`) and xla (`tile_fn`)
+    paths."""
     n = proj.means2d.shape[0]
     num_tx = _pad_to_multiple(width, TILE) // TILE
     num_ty = _pad_to_multiple(height, TILE) // TILE
@@ -180,7 +177,6 @@ def rasterize_gaussians(
     opac_p = jnp.concatenate([opac, jnp.zeros((1,))], 0)
     payl_p = jnp.concatenate([payl, jnp.zeros((1, payload.shape[-1]))], 0)
 
-    tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
     # per-tile pixel offsets (static)
     py, px = jnp.meshgrid(
         jnp.arange(TILE, dtype=jnp.float32),
@@ -274,43 +270,135 @@ def rasterize_gaussians(
         tile_alpha = jnp.sum(w, axis=0)  # (P,)
         return tile_img, tile_alpha, overflow
 
+    return {
+        "n": n,
+        "num_tx": num_tx,
+        "num_ty": num_ty,
+        "num_tiles": num_tiles,
+        "means2d_p": means2d_p,
+        "conics_p": conics_p,
+        "opac_p": opac_p,
+        "payl_p": payl_p,
+        "pix_off": pix_off,
+        "select_fn": select_fn,
+        "tile_fn": tile_fn,
+    }
+
+
+def select_and_pack(
+    proj: Projection,
+    opacities: jax.Array,
+    payload: jax.Array,
+    width: int,
+    height: int,
+    capacity: int = 512,
+    tile_chunk: int = 64,
+    row_capacity: int | None = None,
+    _sel: dict | None = None,
+) -> SelectPack:
+    """Materialize the per-tile packed rows the fused compositing backends
+    consume (also the profiling boundary between selection/pack and
+    compositing — experiments/jobs/402)."""
+    sel = _sel or _selection(
+        proj, opacities, payload, width, height, capacity, row_capacity
+    )
+    n = sel["n"]
+    num_tiles, num_tx = sel["num_tiles"], sel["num_tx"]
+    pad_tiles = _pad_to_multiple(num_tiles, tile_chunk)
+    tids = jnp.concatenate(
+        [
+            jnp.arange(num_tiles, dtype=jnp.int32),
+            jnp.zeros((pad_tiles - num_tiles,), jnp.int32),
+        ]
+    ).reshape(-1, tile_chunk)
+    idx_all, overflows = jax.lax.map(jax.vmap(sel["select_fn"]), tids)
+    idx_all = idx_all.reshape(pad_tiles, capacity)
+    # contiguous packed rows: [mu(2), conic(3), opacity, payload(C)]
+    packed_src = jnp.concatenate(
+        [sel["means2d_p"], sel["conics_p"], sel["opac_p"][:, None],
+         sel["payl_p"]],
+        axis=1,
+    )  # (n+1, 6+C)
+    packed = packed_src[idx_all]  # (T, K, 6+C) gather
+    x0 = (jnp.arange(pad_tiles, dtype=jnp.int32) % num_tx * TILE)
+    y0 = (jnp.arange(pad_tiles, dtype=jnp.int32) // num_tx * TILE)
+    x0 = jnp.where(jnp.arange(pad_tiles) < num_tiles, x0, 0)
+    y0 = jnp.where(jnp.arange(pad_tiles) < num_tiles, y0, 0)
+    pix = sel["pix_off"][None] + jnp.stack([x0, y0], -1)[:, None, :].astype(
+        jnp.float32
+    )  # (T, P, 2)
+    # per-tile live rows: slots are front-packed in depth order, pad
+    # index n marks empty — the pallas kernel's chunk loop stops at the
+    # count
+    counts = jnp.sum(idx_all < n, axis=1).astype(jnp.int32)
+    return SelectPack(
+        packed=packed, pix=pix, counts=counts, overflows=overflows,
+        num_tiles=num_tiles,
+    )
+
+
+def rasterize_gaussians(
+    proj: Projection,
+    opacities: jax.Array,
+    payload: jax.Array,
+    width: int,
+    height: int,
+    capacity: int = 512,
+    tile_chunk: int = 64,
+    backend: str = "auto",
+    row_capacity: int | None = None,
+) -> RasterOutputs:
+    """Composite (N,) projected Gaussians carrying a (N, C) payload.
+
+    opacities: (N,) post-sigmoid opacity (callers fold in the projection
+    ``compensation``). capacity: static per-tile Gaussian budget; overflow
+    beyond it is dropped far-to-near (reported in ``max_overflow`` — callers
+    should log it, SURVEY quality rule "no silent caps").
+
+    backend: "xla" composites inside the chunked tile map; "pallas" packs
+    per-tile rows and runs the fused Pallas compositing kernel with its
+    analytic backward (`ops/rasterize_pallas.py`); "matmul" packs the same
+    rows and composites with the transmittance scan as one MXU triangular
+    matmul (`composite_tiles_mm`); "auto" picks the fastest measured TPU
+    backend (matmul) on TPU.
+    """
+    if backend == "auto":
+        from uncertainty_nerf_gs_tpu.ops.backend import on_tpu
+
+        backend = "pallas" if on_tpu() else "xla"
+    sel = _selection(
+        proj, opacities, payload, width, height, capacity, row_capacity
+    )
+    num_tiles = sel["num_tiles"]
+    num_tx, num_ty = sel["num_tx"], sel["num_ty"]
+
     # -- chunked vmap over tiles to bound memory ------------------------
     pad_tiles = _pad_to_multiple(num_tiles, tile_chunk)
     tids = jnp.concatenate(
-        [tile_ids, jnp.zeros((pad_tiles - num_tiles,), jnp.int32)]
+        [
+            jnp.arange(num_tiles, dtype=jnp.int32),
+            jnp.zeros((pad_tiles - num_tiles,), jnp.int32),
+        ]
     ).reshape(-1, tile_chunk)
 
     if backend in ("pallas", "matmul"):
-        idx_all, overflows = jax.lax.map(jax.vmap(select_fn), tids)
-        idx_all = idx_all.reshape(pad_tiles, capacity)
-        # contiguous packed rows: [mu(2), conic(3), opacity, payload(C)]
-        packed_src = jnp.concatenate(
-            [means2d_p, conics_p, opac_p[:, None], payl_p], axis=1
-        )  # (n+1, 6+C)
-        packed = packed_src[idx_all]  # (T, K, 6+C) gather
-        x0 = (jnp.arange(pad_tiles, dtype=jnp.int32) % num_tx * TILE)
-        y0 = (jnp.arange(pad_tiles, dtype=jnp.int32) // num_tx * TILE)
-        x0 = jnp.where(jnp.arange(pad_tiles) < num_tiles, x0, 0)
-        y0 = jnp.where(jnp.arange(pad_tiles) < num_tiles, y0, 0)
-        pix = pix_off[None] + jnp.stack([x0, y0], -1)[:, None, :].astype(
-            jnp.float32
-        )  # (T, P, 2)
+        sp = select_and_pack(
+            proj, opacities, payload, width, height, capacity,
+            tile_chunk=tile_chunk, row_capacity=row_capacity, _sel=sel,
+        )
         if backend == "matmul":
-            imgs, alphas = composite_tiles_mm(packed, pix, tile_chunk)
+            imgs, alphas = composite_tiles_mm(sp.packed, sp.pix, tile_chunk)
         else:
             from uncertainty_nerf_gs_tpu.ops.rasterize_pallas import (
                 composite_tiles,
             )
 
-            # per-tile live rows: slots are front-packed in depth order,
-            # pad index n marks empty — the kernel's chunk loop stops at
-            # the count
-            counts = jnp.sum(idx_all < n, axis=1).astype(jnp.int32)
-            imgs, alphas = composite_tiles(packed, pix, counts)
+            imgs, alphas = composite_tiles(sp.packed, sp.pix, sp.counts)
+        overflows = sp.overflows
         imgs = imgs[:num_tiles]
         alphas = alphas[:num_tiles]
     else:
-        imgs, alphas, overflows = jax.lax.map(jax.vmap(tile_fn), tids)
+        imgs, alphas, overflows = jax.lax.map(jax.vmap(sel["tile_fn"]), tids)
         imgs = imgs.reshape(pad_tiles, TILE * TILE, -1)[:num_tiles]
         alphas = alphas.reshape(pad_tiles, TILE * TILE)[:num_tiles]
 
