@@ -496,3 +496,58 @@ def test_sparse_parser_defaults_hybrid_facereg(tiny_blender, tmp_path):
     )
     assert tr2.config.grid_layout == "cell"
     assert tr2.config.face_consistency_mult == 0.0
+
+
+def test_ensemble_per_member_mode_and_fold_guard(tiny_blender, tmp_path):
+    """--ensemble-mode per-member runs the reference's sequential semantics
+    (per-member proposal chains, `ensemble_pipeline.py:155-157`) and the
+    benchmark JSON records shared_proposal_chain accordingly; --table-fold
+    2/4 is rejected up front (it crashes the TPU compiler,
+    evidence/fold_incontext_r4.json)."""
+    import json as _json
+
+    overrides = dict(TINY_OVERRIDES)
+    run_a = _train("active-nerfacto", tiny_blender, tmp_path, overrides,
+                   iters=4)
+    from uncertainty_nerf_gs_tpu.scripts.train import main as train_main
+    from uncertainty_nerf_gs_tpu.scripts.eval_uncertainty import (
+        main as eval_main,
+    )
+
+    run_b = tmp_path / "run_member_b"
+    train_main([
+        "active-nerfacto", "--data", str(tiny_blender),
+        "--dataparser", "blender-data", "--output-dir", str(run_b),
+        "--max-num-iterations", "4", "--steps-per-save", "4",
+        "--seed", "1", "--log-every", "0",
+        "--overrides", _json.dumps(overrides),
+    ])
+
+    out_f = eval_main([
+        "--load-config", str(run_a), "--load-config", str(run_b),
+        "--output-path", str(tmp_path / "ens_fused.json"),
+    ])
+    out_p = eval_main([
+        "--load-config", str(run_a), "--load-config", str(run_b),
+        "--output-path", str(tmp_path / "ens_pm.json"),
+        "--ensemble-mode", "per-member",
+    ])
+    ap_f = json.load(open(tmp_path / "ens_fused.json"))["approximations"]
+    ap_p = json.load(open(tmp_path / "ens_pm.json"))["approximations"]
+    assert ap_f["shared_proposal_chain"] is True
+    assert ap_f["proposal_anchor_stride"] is True
+    assert ap_p["shared_proposal_chain"] is False
+    assert ap_p["proposal_anchor_stride"] is False
+    assert ap_p["table_dtype"] == "f32"  # no packed tables on this path
+    # both modes produce finite metrics on the same substrate; at 4 train
+    # iters they need not match, but they must be same order of magnitude
+    assert np.isfinite(out_f["results"]["psnr"])
+    assert np.isfinite(out_p["results"]["psnr"])
+    assert abs(out_f["results"]["psnr"] - out_p["results"]["psnr"]) < 6.0
+
+    with pytest.raises(SystemExit):
+        eval_main([
+            "--load-config", str(run_a), "--load-config", str(run_b),
+            "--output-path", str(tmp_path / "x.json"),
+            "--table-fold", "2",
+        ])

@@ -257,6 +257,7 @@ def build_ensemble_render_fn(
     main_stride_scale: float = 0.0,
     table_dtype: str = "bf16",
     table_fold: int = 1,
+    ensemble_mode: str = "fused",
 ):
     """Eval-time deep ensemble: load M runs, stack params, vmapped fan-out +
     epi/alea combination (`ensemble_pipeline.py:144-191`).
@@ -289,7 +290,7 @@ def build_ensemble_render_fn(
         return render, eval_outputs, eval_images
 
     chunk_fn = build_ensemble_chunk_fn(
-        trainers, main_stride_scale, table_dtype, table_fold
+        trainers, main_stride_scale, table_dtype, table_fold, ensemble_mode
     )
     render = _nerfacto_full_image_renderer(base, chunk_fn, eval_outputs.cameras)
     return render, eval_outputs, eval_images
@@ -325,6 +326,7 @@ def build_ensemble_chunk_fn(
     main_stride_scale: float = 0.0,
     table_dtype: str = "bf16",
     table_fold: int = 1,
+    ensemble_mode: str = "fused",
 ):
     """nerfacto-family ensemble chunk renderer ``rb -> combined outputs``
     (fused shared-gather path when the layout supports it).
@@ -346,7 +348,9 @@ def build_ensemble_chunk_fn(
         ]
     )
 
-    if base.config.grid_layout in ("cell", "hybrid"):
+    if ensemble_mode == "fused" and base.config.grid_layout in (
+        "cell", "hybrid",
+    ):
         # fused shared-gather path: one gather serves all members
         from uncertainty_nerf_gs_tpu.parallel.ensemble_fused import (
             build_fused_ensemble_render,
@@ -413,7 +417,25 @@ def main(argv: list[str] | None = None) -> dict:
                          "coarse grid levels at strided ray anchors "
                          "(0 = exact; ~4 trades <0.1 dB for ~13%% throughput"
                          " — validate per scene)")
+    ap.add_argument("--ensemble-mode", default="fused",
+                    choices=("fused", "per-member"),
+                    help="'fused' shares one proposal chain (member-mean "
+                         "density) across members — the fast path; "
+                         "'per-member' runs each member's own proposal "
+                         "chain (the reference's sequential semantics, "
+                         "ensemble_pipeline.py:155-157), vmapped")
     args = ap.parse_args(argv)
+    if args.table_fold in (2, 4):
+        # fold>1 reproducibly crashes the TPU compiler at the packed
+        # ensemble-table shapes (evidence/fold_incontext_r4.json: HTTP 500
+        # tpu_compile_helper exit 1 for int8_fold2/4 + bf16_fold4, and it
+        # measured slower where it did compile) — reject up front instead
+        # of dying mid-eval (VERDICT r4 #6).
+        ap.error(
+            "--table-fold 2/4 is disabled: it crashes the TPU compiler at "
+            "ensemble-table shapes and loses throughput where it compiles "
+            "(evidence/fold_incontext_r4.json). Use --table-fold 1."
+        )
 
     lpips_params = None
     if args.lpips_weights:
@@ -428,6 +450,7 @@ def main(argv: list[str] | None = None) -> dict:
             main_stride_scale=args.main_stride_scale,
             table_dtype=args.table_dtype,
             table_fold=args.table_fold,
+            ensemble_mode=args.ensemble_mode,
         )
         method_name = "ensemble"
         ckpt = ";".join(str(latest_checkpoint(d)) for d in run_dirs)
@@ -445,15 +468,24 @@ def main(argv: list[str] | None = None) -> dict:
     # self-describing benchmark JSON (VERDICT r3 #8): record exactly which
     # eval-time approximations produced the numbers. Exact/parity runs show
     # the exact settings; raster overflow lands in results per image.
+    fused = len(run_dirs) > 1 and args.ensemble_mode == "fused"
     approximations = {
-        "table_dtype": args.table_dtype if len(run_dirs) > 1 else "f32",
-        "main_stride_scale": args.main_stride_scale if len(run_dirs) > 1 else 0.0,
+        # packed eval tables / stride anchors only exist on the fused path;
+        # per-member mode renders from the raw trained params
+        "table_dtype": args.table_dtype if fused else "f32",
+        "main_stride_scale": args.main_stride_scale if fused else 0.0,
         # the fused ensemble render ships strided coarse PROPOSAL levels by
         # default (build_fused_ensemble_render(proposal_anchor_stride=True))
-        "proposal_anchor_stride": len(run_dirs) > 1,
+        "proposal_anchor_stride": fused,
         # exact addressing change, recorded for self-description anyway
         "table_fold": args.table_fold if len(run_dirs) > 1 else 1,
         "n_members": len(run_dirs),
+        # fused mode renders every member against ONE proposal chain built
+        # from the member-mean density (parallel/ensemble_fused.py) — a
+        # structural deviation from the reference's per-member sequential
+        # renders (ensemble_pipeline.py:155-157); per-member mode is the
+        # reference-exact semantics (VERDICT r4 weak #2: record it).
+        "shared_proposal_chain": fused,
     }
     options = EvalOptions(
         output_path=Path(args.output_path),
