@@ -81,6 +81,11 @@ class SplatfactoConfig:
     rasterize_capacity: int = 512
     tile_chunk: int = 64
     rasterize_backend: str = "auto"  # auto | pallas | xla (ops/rasterize.py)
+    # per-ROW candidate budget of the two-level cull (ops/rasterize.py;
+    # None = max(4*capacity, 1024)). The reported raster_overflow counts
+    # drops at BOTH levels; raise this to drive row-level drops to zero
+    # (evidence/raster_truncation_r5.json quantifies the quality cost).
+    rasterize_row_capacity: int | None = None
     # depth-variance semantics: "moments" = in-pass E[d^2]-E[d]^2 (one
     # rasterize, the default); "indirection" = the reference's exact
     # two-pass trick — fetch the composited depth D at each Gaussian's
@@ -308,6 +313,7 @@ def render_splat(
         capacity=config.rasterize_capacity,
         tile_chunk=config.tile_chunk,
         backend=config.rasterize_backend,
+        row_capacity=config.rasterize_row_capacity,
     )
     img = out.image
     alpha = out.alpha
@@ -346,6 +352,7 @@ def render_splat(
             capacity=config.rasterize_capacity,
             tile_chunk=config.tile_chunk,
             backend=config.rasterize_backend,
+            row_capacity=config.rasterize_row_capacity,
         )
         raw2 = out2.image[..., 0]
         # reference fill: uncovered pixels get the RAW composite's max
