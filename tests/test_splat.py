@@ -100,6 +100,48 @@ def test_rasterize_capacity_overflow_reported(rng):
     assert int(out.max_overflow) > 0  # 100 gaussians over a 64x48 image
 
 
+def test_select_and_pack_matmul_matches_gather(rng):
+    """The one-hot MXU matmul compaction must reproduce the scatter+gather
+    pack exactly: live packed rows, counts, overflows, and the composited
+    image + gradients (ops/rasterize.py::pack_fn)."""
+    from uncertainty_nerf_gs_tpu.ops.rasterize import select_and_pack
+
+    proj, opac, payload, w, h = _random_scene(rng, n=120)
+    a = select_and_pack(proj, opac, payload, w, h, capacity=32,
+                        tile_chunk=4, pack_via="gather")
+    b = select_and_pack(proj, opac, payload, w, h, capacity=32,
+                        tile_chunk=4, pack_via="matmul")
+    np.testing.assert_array_equal(np.asarray(a.counts), np.asarray(b.counts))
+    np.testing.assert_array_equal(
+        np.asarray(a.overflows), np.asarray(b.overflows))
+    # only live slots must agree (pad slots differ by construction:
+    # gather packs the -1e6 pad row, matmul emits zeros)
+    live = np.arange(32)[None, :] < np.asarray(a.counts)[:, None]
+    pa, pb = np.asarray(a.packed), np.asarray(b.packed)
+    np.testing.assert_allclose(pa[live], pb[live], atol=1e-6, rtol=0)
+    np.testing.assert_allclose(np.asarray(a.pix), np.asarray(b.pix))
+
+    def loss(via, means2d, op, pv):
+        out = rasterize_gaussians(
+            proj._replace(means2d=means2d), op, pv, w, h, capacity=32,
+            tile_chunk=4, backend="xla" if via == "ref" else "pallas",
+            pack_via=via if via != "ref" else "gather",
+        )
+        return jnp.sum(out.image**2) + jnp.sum(out.alpha * out.alpha)
+
+    for via in ("gather", "matmul"):
+        l, g = jax.value_and_grad(
+            functools.partial(loss, via), argnums=(0, 1, 2)
+        )(proj.means2d, opac, payload)
+        if via == "gather":
+            l0, g0 = l, g
+        else:
+            np.testing.assert_allclose(float(l), float(l0), rtol=1e-6)
+            for ga, gb in zip(g0, g):
+                np.testing.assert_allclose(
+                    np.asarray(ga), np.asarray(gb), atol=1e-5, rtol=1e-5)
+
+
 def test_rasterize_differentiable(rng):
     proj, opac, payload, w, h = _random_scene(rng, n=30)
 

@@ -86,6 +86,10 @@ class SplatfactoConfig:
     # drops at BOTH levels; raise this to drive row-level drops to zero
     # (evidence/raster_truncation_r5.json quantifies the quality cost).
     rasterize_row_capacity: int | None = None
+    # tile compaction: "matmul" (one-hot MXU matmul, no index buffers) or
+    # "gather" (scatter compaction + row gather) — identical outputs;
+    # evidence/raster_pack_ab_r5.json holds the timings
+    rasterize_pack_via: str = "gather"
     # depth-variance semantics: "moments" = in-pass E[d^2]-E[d]^2 (one
     # rasterize, the default); "indirection" = the reference's exact
     # two-pass trick — fetch the composited depth D at each Gaussian's
@@ -314,6 +318,7 @@ def render_splat(
         tile_chunk=config.tile_chunk,
         backend=config.rasterize_backend,
         row_capacity=config.rasterize_row_capacity,
+        pack_via=config.rasterize_pack_via,
     )
     img = out.image
     alpha = out.alpha
@@ -353,6 +358,7 @@ def render_splat(
             tile_chunk=config.tile_chunk,
             backend=config.rasterize_backend,
             row_capacity=config.rasterize_row_capacity,
+            pack_via=config.rasterize_pack_via,
         )
         raw2 = out2.image[..., 0]
         # reference fill: uncovered pixels get the RAW composite's max

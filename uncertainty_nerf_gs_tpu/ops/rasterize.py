@@ -242,6 +242,41 @@ def _selection(
         overflow = jnp.maximum(hits_total - capacity, 0) + row_overflow[ry]
         return idx_buf, overflow
 
+    # -- 2c. matmul compaction (pack_via="matmul"): emit the packed tile
+    # rows DIRECTLY as a one-hot (capacity, row_cap) MXU matmul against the
+    # row-level packed candidates, skipping both the scatter compaction and
+    # the (T, K) row gather. Exact: each one-hot row has a single 1.0, and
+    # Precision.HIGHEST decomposes f32 operands exactly, so 1.0*v
+    # accumulates to exactly v (r5 profile: the scatter-based select was
+    # 26 of the 42 ms fwd+bwd at the bench shape).
+    packed_src = jnp.concatenate(
+        [means2d_p, conics_p, opac_p[:, None], payl_p], axis=1
+    )  # (n+1, 6+C)
+    row_packed = packed_src[row_idx]  # (num_ty, row_cap, 6+C)
+    k_arange = jnp.arange(capacity, dtype=jnp.int32)
+
+    def pack_fn(tid: jax.Array):
+        """Packed rows + live count + overflow of one tile (no indices)."""
+        ry = tid // num_tx
+        x0, _ = tile_origin(tid)
+        hit = (
+            row_live[ry]
+            & (row_x[ry] + row_radii[ry] >= x0)
+            & (row_x[ry] - row_radii[ry] <= x0 + TILE)
+        )
+        pos = cumsum_lanes(hit) - 1
+        hits_total = pos[-1] + 1
+        pos = jnp.where(hit, pos, -1)
+        onehot = jax.lax.stop_gradient(
+            (pos[None, :] == k_arange[:, None]).astype(jnp.float32)
+        )  # (capacity, row_cap)
+        tile_rows = jnp.matmul(
+            onehot, row_packed[ry], precision=jax.lax.Precision.HIGHEST
+        )  # (capacity, 6+C)
+        count = jnp.minimum(hits_total, capacity).astype(jnp.int32)
+        overflow = jnp.maximum(hits_total - capacity, 0) + row_overflow[ry]
+        return tile_rows, count, overflow
+
     def tile_fn(tid: jax.Array):
         idx_buf, overflow = select_fn(tid)
         mu = means2d_p[idx_buf]  # (K, 2)
@@ -281,6 +316,7 @@ def _selection(
         "payl_p": payl_p,
         "pix_off": pix_off,
         "select_fn": select_fn,
+        "pack_fn": pack_fn,
         "tile_fn": tile_fn,
     }
 
@@ -294,11 +330,18 @@ def select_and_pack(
     capacity: int = 512,
     tile_chunk: int = 64,
     row_capacity: int | None = None,
+    pack_via: str = "gather",
     _sel: dict | None = None,
 ) -> SelectPack:
     """Materialize the per-tile packed rows the fused compositing backends
     consume (also the profiling boundary between selection/pack and
-    compositing — experiments/jobs/402)."""
+    compositing — experiments/jobs/402).
+
+    pack_via: "matmul" compacts each tile's rows as a one-hot MXU matmul
+    (no indices materialized); "gather" is the original scatter-compaction
+    + row gather. Both are exact and produce identical packed rows
+    (tests/test_ops.py); evidence/raster_pack_ab_r5.json decides the
+    production default."""
     sel = _sel or _selection(
         proj, opacities, payload, width, height, capacity, row_capacity
     )
@@ -311,6 +354,23 @@ def select_and_pack(
             jnp.zeros((pad_tiles - num_tiles,), jnp.int32),
         ]
     ).reshape(-1, tile_chunk)
+    if pack_via == "matmul":
+        packed, counts2d, overflows = jax.lax.map(
+            jax.vmap(sel["pack_fn"]), tids
+        )
+        packed = packed.reshape(pad_tiles, capacity, -1)
+        counts = counts2d.reshape(pad_tiles)
+        x0 = (jnp.arange(pad_tiles, dtype=jnp.int32) % num_tx * TILE)
+        y0 = (jnp.arange(pad_tiles, dtype=jnp.int32) // num_tx * TILE)
+        x0 = jnp.where(jnp.arange(pad_tiles) < num_tiles, x0, 0)
+        y0 = jnp.where(jnp.arange(pad_tiles) < num_tiles, y0, 0)
+        pix = sel["pix_off"][None] + jnp.stack([x0, y0], -1)[
+            :, None, :
+        ].astype(jnp.float32)
+        return SelectPack(
+            packed=packed, pix=pix, counts=counts, overflows=overflows,
+            num_tiles=num_tiles,
+        )
     idx_all, overflows = jax.lax.map(jax.vmap(sel["select_fn"]), tids)
     idx_all = idx_all.reshape(pad_tiles, capacity)
     # contiguous packed rows: [mu(2), conic(3), opacity, payload(C)]
@@ -347,6 +407,7 @@ def rasterize_gaussians(
     tile_chunk: int = 64,
     backend: str = "auto",
     row_capacity: int | None = None,
+    pack_via: str = "gather",
 ) -> RasterOutputs:
     """Composite (N,) projected Gaussians carrying a (N, C) payload.
 
@@ -384,7 +445,8 @@ def rasterize_gaussians(
     if backend in ("pallas", "matmul"):
         sp = select_and_pack(
             proj, opacities, payload, width, height, capacity,
-            tile_chunk=tile_chunk, row_capacity=row_capacity, _sel=sel,
+            tile_chunk=tile_chunk, row_capacity=row_capacity,
+            pack_via=pack_via, _sel=sel,
         )
         if backend == "matmul":
             imgs, alphas = composite_tiles_mm(sp.packed, sp.pix, tile_chunk)
