@@ -426,15 +426,22 @@ def main(argv: list[str] | None = None) -> dict:
                          "ensemble_pipeline.py:155-157), vmapped")
     args = ap.parse_args(argv)
     if args.table_fold in (2, 4):
-        # fold>1 reproducibly crashes the TPU compiler at the packed
-        # ensemble-table shapes (evidence/fold_incontext_r4.json: HTTP 500
-        # tpu_compile_helper exit 1 for int8_fold2/4 + bf16_fold4, and it
-        # measured slower where it did compile) — reject up front instead
-        # of dying mid-eval (VERDICT r4 #6).
+        # fold>1 reproducibly kills compilation at the packed
+        # ensemble-table shapes. Root cause (job-324 compile logs,
+        # evidence/fold_crash_r5.json): XLA lowers the folded gather by
+        # materializing the widened (n_lookups, lanes*fold) rows UNFUSED
+        # from the lane select, so peak compile-time HBM scales with fold
+        # — 17.2 GB at fold2, 33.2 GB at fold4, vs the chip's 15.75 GB
+        # ("Ran out of memory in memory space hbm"). It also measured
+        # slower where it did fit (bf16_fold2: 1.6x slower,
+        # evidence/fold_incontext_r4.json) — reject up front instead of
+        # dying mid-eval (VERDICT r4 #6).
         ap.error(
-            "--table-fold 2/4 is disabled: it crashes the TPU compiler at "
-            "ensemble-table shapes and loses throughput where it compiles "
-            "(evidence/fold_incontext_r4.json). Use --table-fold 1."
+            "--table-fold 2/4 is disabled: the folded-gather lowering "
+            "OOMs compile-time HBM at ensemble-table shapes (17-33 GB vs "
+            "15.75 GB, evidence/fold_crash_r5.json) and loses throughput "
+            "where it fits (evidence/fold_incontext_r4.json). Use "
+            "--table-fold 1."
         )
 
     lpips_params = None
