@@ -395,6 +395,52 @@ def test_fused_render_int8_tables_close_to_f32(rng):
     assert float(jnp.abs(o32["depth"] - o8["depth"]).max()) < 0.2
 
 
+def test_fused_render_table_split_exact(rng):
+    """Lane-split eval tables (split_packed_tables: sub-34MB sub-gathers,
+    pad lanes dropped) must render EXACTLY like the unsplit tables of the
+    same dtype — it is pure addressing, not approximation."""
+    from uncertainty_nerf_gs_tpu.ops.encodings import (
+        packed_cell_lookup, split_packed_tables,
+    )
+
+    cfg = _tiny_config(uncertainty_channels=1)
+    model = NerfactoModel(cfg)
+    rb = _bundle(rng)
+    stacked = init_ensemble_params(model, 2)
+    render = build_fused_ensemble_render(model)
+    for dt in (jnp.bfloat16, jnp.int8):
+        p = pack_ensemble_tables(model, stacked, table_dtype=dt)
+        ps = pack_ensemble_tables(model, stacked, table_dtype=dt,
+                                  table_split=True)
+        # pad lanes dropped: every split level is a tuple covering 32 real
+        # lanes (2 members x 2 feats x 8 corners)
+        tabs = ps["field"]["tables"] if isinstance(ps["field"], dict) \
+            else ps["field"]
+        entry = tabs[0] if isinstance(tabs, (list, tuple)) else tabs
+        assert isinstance(entry, tuple)
+        assert sum(t.shape[-1] for t in entry) == 32
+        a = render(stacked, p, rb)
+        b = render(stacked, ps, rb)
+        np.testing.assert_allclose(
+            np.asarray(a["rgb"], np.float32), np.asarray(b["rgb"], np.float32),
+            atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(a["depth"], np.float32),
+            np.asarray(b["depth"], np.float32), atol=1e-6)
+
+    # multi-part split (tiny max_bytes forces several sub-tables)
+    k = jax.random.PRNGKey(3)
+    packed = jax.random.normal(k, (2, 64, 128), jnp.float32)
+    pos = jax.random.uniform(jax.random.PRNGKey(4), (40, 3))
+    whole = packed_cell_lookup(packed, pos, [4, 8], 64, num_members=2)
+    sp = split_packed_tables(packed, 2, real_lanes=32, max_bytes=2048)
+    assert all(isinstance(t, tuple) and len(t) > 1
+               for t in sp["tables"])
+    parts = packed_cell_lookup(sp, pos, [4, 8], 64, num_members=2)
+    np.testing.assert_allclose(np.asarray(whole), np.asarray(parts),
+                               atol=1e-6)
+
+
 def test_fused_render_int8_hybrid_and_stride(rng):
     """int8 dict-form tables must thread through the hybrid per-level-list
     path and the strided lookup (both unpack {tables, scales})."""

@@ -469,6 +469,58 @@ def fold_packed_tables(packed, fold: int, levels: int | None = None):
     return {"tables": out_tables, "scales": scales}
 
 
+def split_packed_tables(
+    packed,
+    levels: int | None = None,
+    real_lanes: int | None = None,
+    max_bytes: float = 32.0e6,
+):
+    """Lane-split each eval table into sub-tables of <= ``max_bytes``.
+
+    EXACT layout change (same values, same addressing — the lookup
+    concatenates the sub-gathers back lane-wise): XLA's dynamic row-gather
+    lowering switches strategy on OPERAND bytes (~169 M rows/s <= 33.5 MB,
+    ~68-77 at >= 42 MB — evidence/gather_physics_r5.json,
+    pallas_gather_probe_r5.json), so a 67 MB member-packed level gathered
+    as two <= 33.5 MB lane halves issues 2x the rows at 2.2x the per-row
+    rate — a wash UNLESS the independent gathers overlap, which
+    evidence/gather_overlap_r5.json measures. ``real_lanes`` additionally
+    drops trailing pad lanes (the 5-member pack stores 80 real of 128
+    lanes), cutting fetched bytes 38% on its own; the trilerp consumes the
+    un-padded width directly (`_lerp_matrices` at the concat width).
+
+    Levels already at or under ``max_bytes`` (and already-split tuples)
+    pass through whole. Returns the {"tables", "scales"} dict form; split
+    levels are TUPLES of (rows, w_i) arrays (lists stay per-level
+    containers everywhere else).
+    """
+    tables, scales = _unpack_quantized(packed)
+    if not isinstance(tables, (list, tuple)):
+        levels = tables.shape[0] if levels is None else levels
+    tables, _ = _per_level_tables(
+        tables, 0, levels if levels is not None else len(tables)
+    )
+    out_tables = []
+    for t in tables:
+        if isinstance(t, tuple):
+            out_tables.append(t)
+            continue
+        rows, lanes = t.shape
+        w = min(real_lanes, lanes) if real_lanes else lanes
+        nbytes = rows * w * t.dtype.itemsize
+        parts = max(1, -(-int(nbytes) // int(max_bytes)))
+        if parts == 1 and w == lanes:
+            out_tables.append(t)
+            continue
+        pw = -(-w // parts)
+        pw = ((pw + 7) // 8) * 8  # 8-lane multiples
+        bounds = list(range(0, w, pw)) + [w]
+        out_tables.append(
+            tuple(t[:, a:b] for a, b in zip(bounds[:-1], bounds[1:]))
+        )
+    return {"tables": out_tables, "scales": scales}
+
+
 def _base_lanes(num_members: int, features_per_level: int) -> int:
     """Lane width of one unfolded eval row (pack_member_cell_tables)."""
     payload = 8 * num_members * features_per_level
@@ -510,25 +562,37 @@ def packed_cell_lookup(
     outs = []
     for lvl, res in enumerate(np.asarray(resolutions)):
         idx, w = cell_indices(positions, int(res), sizes[lvl])
-        f = tables[lvl].shape[-1] // lanes  # fold factor (static shape)
-        if f > 1:
-            # folded rows (see `fold_packed_tables`): gather idx//f, then
-            # one-hot select the cell's lane group — the multiply+tiny-sum
-            # fuses into the gather consumer, no extra HBM pass
-            rows = tables[lvl][idx // f]  # (n, lanes*f)
-            cd = jnp.float32 if scales is not None else rows.dtype
-            oh = jax.nn.one_hot(idx % f, f, dtype=cd)
-            rows = jnp.sum(
-                rows.reshape(n, f, lanes).astype(cd) * oh[:, :, None], axis=1
-            )  # (n, lanes)
+        t = tables[lvl]
+        if isinstance(t, tuple):
+            # lane-split sub-tables (`split_packed_tables`): one gather per
+            # sub-table, lane concat restores the (possibly un-padded) row
+            rows = jnp.concatenate([st[idx] for st in t], axis=-1)
         else:
-            rows = tables[lvl][idx]  # (n, lanes)
+            f = t.shape[-1] // lanes  # fold factor (static shape)
+            if f > 1:
+                # folded rows (see `fold_packed_tables`): gather idx//f,
+                # then one-hot select the cell's lane group — the
+                # multiply+tiny-sum fuses into the gather consumer
+                rows = t[idx // f]  # (n, lanes*f)
+                cd = jnp.float32 if scales is not None else rows.dtype
+                oh = jax.nn.one_hot(idx % f, f, dtype=cd)
+                rows = jnp.sum(
+                    rows.reshape(n, f, lanes).astype(cd) * oh[:, :, None],
+                    axis=1,
+                )  # (n, lanes)
+            else:
+                rows = t[idx]  # (n, lanes)
+        rw = rows.shape[-1]
+        cb, cs = (
+            (corner_b, corner_s) if rw == lanes
+            else _lerp_matrices(rw, mf, mf)
+        )
         if scales is not None:  # int8 rows: dequant scale rides on wl
-            wl = (w @ corner_b) * scales[lvl]  # (n, lanes) f32
+            wl = (w @ cb) * scales[lvl]  # (n, rw) f32
             rows = rows.astype(jnp.float32)
         else:
-            wl = w.astype(rows.dtype) @ corner_b.astype(rows.dtype)
-        outs.append(((rows * wl) @ corner_s.astype(rows.dtype)))  # (n, MF)
+            wl = w.astype(rows.dtype) @ cb.astype(rows.dtype)
+        outs.append(((rows * wl) @ cs.astype(rows.dtype)))  # (n, MF)
     all_lvls = jnp.concatenate(outs, axis=-1).astype(jnp.float32)  # (n, L*MF)
 
     # member split: out[mm, :, l*F+f] = all_lvls[:, l*MF + mm*F + f]

@@ -195,6 +195,7 @@ def pack_ensemble_tables(
     stacked_params: Any,
     table_dtype: Any = None,
     table_fold: int = 1,
+    table_split: bool = False,
 ) -> dict[str, Any]:
     """One-time repack of stacked member grid tables into fused eval rows.
 
@@ -205,6 +206,11 @@ def pack_ensemble_tables(
     ``table_fold`` > 1 folds that many cells into each row (EXACT layout
     change; see `fold_packed_tables` — moves the big main-grid gather
     operand under XLA's size cliff).
+
+    ``table_split`` lane-splits each level into <= 32 MB sub-tables with
+    the pad lanes dropped (EXACT; see `split_packed_tables` — each
+    sub-gather runs in the fast (<= 33.5 MB) lowering mode;
+    evidence/gather_overlap_r5.json holds the physics).
     """
     cfg = model.config
     layout = cfg.grid_layout
@@ -232,6 +238,16 @@ def pack_ensemble_tables(
     if table_fold > 1:
         for k, n_lvl in levels.items():
             out[k] = fold_packed_tables(out[k], table_fold, n_lvl)
+    if table_split:
+        from uncertainty_nerf_gs_tpu.ops.encodings import split_packed_tables
+
+        m = jax.tree.leaves(stacked_params["field"]["encoding"])[0].shape[0]
+        for k, n_lvl in levels.items():
+            feats = cfg.features_per_level if k == "field" else _PROP_FEATS
+            if out[k] is not None:
+                out[k] = split_packed_tables(
+                    out[k], n_lvl, real_lanes=8 * m * feats
+                )
     return out
 
 
