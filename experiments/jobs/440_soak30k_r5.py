@@ -48,43 +48,51 @@ if not list(D.glob("step-*.ckpt")):
     shutil.copytree(src_ckpt, D / "step-000012000.ckpt")
     print("seeded from member0 step-12000", flush=True)
 
-steps = sorted(int(p.name[5:14]) for p in D.glob("step-*.ckpt"))
-print("resuming from", steps[-1], flush=True)
-if steps[-1] < TOTAL:
-    train_main([
-        "active-nerfacto", "--data", str(SRC / "scene"), "--dataparser",
-        "blender-data", "--output-dir", str(D), "--load-dir", str(D),
-        "--max-num-iterations", str(TOTAL), "--steps-per-save", "6000",
-        "--steps-per-eval-image", "3000",
-        "--seed", "0", "--log-every", "1000", "--camera-opt", "off",
-        "--overrides", json.dumps(OVERRIDES),
-    ])
+def summarize():
+    """Progressive evidence: called after every training segment so a
+    round-end interruption still leaves a committed partial curve."""
+    curve: dict[int, dict] = {}
+    nonfinite = []
+    events = [json.loads(l) for f in (SRC / "member0" / "events.jsonl",
+                                      D / "events.jsonl") if f.exists()
+              for l in f.open()]
+    for e in events:
+        if not math.isfinite(e["value"]):
+            nonfinite.append(e)
+        if e["step"] % 1000 == 0 or e["name"].startswith("eval"):
+            curve.setdefault(e["step"], {})[e["name"]] = round(e["value"], 5)
+    last = max(curve)
+    OUT.write_text(json.dumps({
+        "_meta": {
+            "run": "active-nerfacto, reference scale + 30k schedule "
+                   "(laplace_config.py:27), 40-view 64x64 procedural scene; "
+                   "steps 0-12000 are gate member0 (job 310), 12000-30000 "
+                   "fresh (this job, seeded from its checkpoint)",
+            "final_step": last,
+            "target_step": TOTAL,
+            "complete": last >= TOTAL,
+            "nonfinite_events": len(nonfinite),
+        },
+        "final_metrics": curve[last],
+        "curve": {str(k): curve[k] for k in sorted(curve)},
+    }, indent=2) + "\n")
+    print("summarized to step", last, "nonfinite", len(nonfinite), flush=True)
+    return last, nonfinite
 
-# ---- summarize to evidence --------------------------------------------
-curve: dict[int, dict] = {}
-nonfinite = []
-events = [json.loads(l) for f in (SRC / "member0" / "events.jsonl",
-                                  D / "events.jsonl") if f.exists()
-          for l in f.open()]
-for e in events:
-    if not math.isfinite(e["value"]):
-        nonfinite.append(e)
-    if e["step"] % 1000 == 0 or e["name"].startswith("eval"):
-        curve.setdefault(e["step"], {})[e["name"]] = round(e["value"], 5)
 
-last = max(curve)
-OUT.write_text(json.dumps({
-    "_meta": {
-        "run": "active-nerfacto, reference scale + 30k schedule "
-               "(laplace_config.py:27), 40-view 64x64 procedural scene; "
-               "steps 0-12000 are gate member0 (job 310), 12000-30000 "
-               "fresh (this job, seeded from its checkpoint)",
-        "final_step": last,
-        "nonfinite_events": len(nonfinite),
-    },
-    "final_metrics": curve[last],
-    "curve": {str(k): curve[k] for k in sorted(curve)},
-}, indent=2) + "\n")
-print("final step", last, "nonfinite", len(nonfinite), flush=True)
+for target in (18000, 24000, 30000):
+    steps = sorted(int(p.name[5:14]) for p in D.glob("step-*.ckpt"))
+    print("resuming from", steps[-1], "target", target, flush=True)
+    if steps[-1] < target:
+        train_main([
+            "active-nerfacto", "--data", str(SRC / "scene"), "--dataparser",
+            "blender-data", "--output-dir", str(D), "--load-dir", str(D),
+            "--max-num-iterations", str(target), "--steps-per-save", "6000",
+            "--steps-per-eval-image", "3000",
+            "--seed", "0", "--log-every", "1000", "--camera-opt", "off",
+            "--overrides", json.dumps(OVERRIDES),
+        ])
+    last, nonfinite = summarize()
+
 assert last >= TOTAL and not nonfinite
 print("JOB_440_DONE", flush=True)
