@@ -132,6 +132,26 @@ def _best_fold(dtype_name: str) -> int:
     return best
 
 
+def _use_table_split(dtype_name: str, stride: float) -> bool:
+    """Adopt the lane-split (EXACT addressing change, oracle-tested like
+    fold) mechanically from committed throughput evidence
+    (evidence/table_split_incontext_r5.json, experiments/jobs/412)."""
+    import pathlib
+
+    path = pathlib.Path(__file__).parent / "evidence/table_split_incontext_r5.json"
+    try:
+        ev = json.loads(path.read_text())
+    except (OSError, json.JSONDecodeError):
+        return False
+    # measured pairs: {dtype}_exact and int8_stride8; other strides use the
+    # same-dtype exact verdict (split is orthogonal to striding)
+    key = f"{dtype_name}_stride8" if (dtype_name, stride) == ("int8", 8.0) \
+        else f"{dtype_name}_exact"
+    on, off = ev.get(f"{key}_split1"), ev.get(f"{key}_split0")
+    return (isinstance(on, (int, float)) and isinstance(off, (int, float))
+            and on > off)
+
+
 def bench_ensemble_render() -> dict:
     from uncertainty_nerf_gs_tpu.models.nerfacto import NerfactoConfig, NerfactoModel
     from uncertainty_nerf_gs_tpu.ops.sampling import RayBundle
@@ -172,9 +192,10 @@ def bench_ensemble_render() -> dict:
     )
     dt = {"int8": jnp.int8, "bf16": jnp.bfloat16}
     head_fold = _best_fold(head_dtype)
+    head_split = _use_table_split(head_dtype, head_stride)
     packed_head = pack_ensemble_tables(
         model, stacked_params, table_dtype=dt[head_dtype],
-        table_fold=head_fold,
+        table_fold=head_fold, table_split=head_split,
     )
     render_head = build_fused_ensemble_render(
         model, main_stride_scale=head_stride
@@ -183,6 +204,7 @@ def bench_ensemble_render() -> dict:
     packed_fast = pack_ensemble_tables(
         model, stacked_params, table_dtype=dt[fast_dtype],
         table_fold=_best_fold(fast_dtype),
+        table_split=_use_table_split(fast_dtype, fast_stride),
     )
     render_fast = build_fused_ensemble_render(
         model, main_stride_scale=fast_stride
@@ -218,6 +240,7 @@ def bench_ensemble_render() -> dict:
             ),
             "config": head_name,
             "table_fold": head_fold,
+            "table_split": head_split,
             "quality_gate": gate_file,
         },
     ]

@@ -258,6 +258,7 @@ def build_ensemble_render_fn(
     table_dtype: str = "bf16",
     table_fold: int = 1,
     ensemble_mode: str = "fused",
+    table_split: bool = False,
 ):
     """Eval-time deep ensemble: load M runs, stack params, vmapped fan-out +
     epi/alea combination (`ensemble_pipeline.py:144-191`).
@@ -290,7 +291,8 @@ def build_ensemble_render_fn(
         return render, eval_outputs, eval_images
 
     chunk_fn = build_ensemble_chunk_fn(
-        trainers, main_stride_scale, table_dtype, table_fold, ensemble_mode
+        trainers, main_stride_scale, table_dtype, table_fold, ensemble_mode,
+        table_split,
     )
     render = _nerfacto_full_image_renderer(base, chunk_fn, eval_outputs.cameras)
     return render, eval_outputs, eval_images
@@ -327,6 +329,7 @@ def build_ensemble_chunk_fn(
     table_dtype: str = "bf16",
     table_fold: int = 1,
     ensemble_mode: str = "fused",
+    table_split: bool = False,
 ):
     """nerfacto-family ensemble chunk renderer ``rb -> combined outputs``
     (fused shared-gather path when the layout supports it).
@@ -359,7 +362,8 @@ def build_ensemble_chunk_fn(
 
         dt = {"bf16": jnp.bfloat16, "f32": None, "int8": jnp.int8}[table_dtype]
         packed = pack_ensemble_tables(
-            base.model, stacked, table_dtype=dt, table_fold=table_fold
+            base.model, stacked, table_dtype=dt, table_fold=table_fold,
+            table_split=table_split,
         )
         fused = build_fused_ensemble_render(
             base.model, main_stride_scale=main_stride_scale
@@ -412,6 +416,11 @@ def main(argv: list[str] | None = None) -> dict:
                     help="fused eval tables: cells folded per gather row "
                          "(EXACT addressing change; moves the big-grid "
                          "gather operand under XLA's size cliff)")
+    ap.add_argument("--table-split", action="store_true",
+                    help="fused eval tables: lane-split each level into "
+                         "<=32MB sub-gathers with pad lanes dropped (EXACT "
+                         "addressing change, split_packed_tables; "
+                         "evidence/table_split_incontext_r5.json)")
     ap.add_argument("--main-stride-scale", type=float, default=0.0,
                     help="fused-ensemble render: evaluate the main field's "
                          "coarse grid levels at strided ray anchors "
@@ -458,6 +467,7 @@ def main(argv: list[str] | None = None) -> dict:
             table_dtype=args.table_dtype,
             table_fold=args.table_fold,
             ensemble_mode=args.ensemble_mode,
+            table_split=args.table_split,
         )
         method_name = "ensemble"
         ckpt = ";".join(str(latest_checkpoint(d)) for d in run_dirs)
@@ -486,6 +496,9 @@ def main(argv: list[str] | None = None) -> dict:
         "proposal_anchor_stride": fused,
         # exact addressing change, recorded for self-description anyway
         "table_fold": args.table_fold if len(run_dirs) > 1 else 1,
+        # exact addressing change (split_packed_tables: sub-34MB lane
+        # slices, pad lanes dropped), recorded for self-description
+        "table_split": bool(args.table_split) if fused else False,
         "n_members": len(run_dirs),
         # fused mode renders every member against ONE proposal chain built
         # from the member-mean density (parallel/ensemble_fused.py) — a
