@@ -314,6 +314,18 @@ def bench_rasterizer() -> dict:
     # 4 ms as the representative figure; vs_baseline = 4 / ours (>1 means
     # faster than the anchor). Same ~2x uncertainty band as the ensemble
     # baseline (BASELINE.md).
+    # committed truncation cost of this capacity config (job 407): PSNR of
+    # the cap384/row1536 render vs the overflow-free (cap2048, full-rows)
+    # oracle of the SAME scene — never silent (VERDICT r4 #3)
+    trunc = None
+    try:
+        import pathlib
+
+        ev = json.loads((pathlib.Path(__file__).parent /
+                         "evidence/raster_truncation_r5.json").read_text())
+        trunc = ev["bench_cap384_row1536"]["psnr_vs_overflow_free"]
+    except (OSError, KeyError, json.JSONDecodeError, TypeError):
+        pass
     return {
         "metric": "splat_rasterize_fwd_bwd_640x480_65k",
         "value": round(ms, 2),
@@ -321,6 +333,7 @@ def bench_rasterizer() -> dict:
         "vs_baseline": round(4.0 / ms, 3),
         "max_tile_overflow": overflow,
         "capacity": cfg.rasterize_capacity,
+        "truncation_psnr_vs_exact_db": trunc,
     }
 
 
