@@ -410,15 +410,22 @@ def test_fused_render_table_split_exact(rng):
     render = build_fused_ensemble_render(model)
     for dt in (jnp.bfloat16, jnp.int8):
         p = pack_ensemble_tables(model, stacked, table_dtype=dt)
+        # tiny tables are far under the 32 MB rule -> auto split is a
+        # pass-through (narrow single-part gathers measured pathological)
         ps = pack_ensemble_tables(model, stacked, table_dtype=dt,
                                   table_split=True)
-        # pad lanes dropped: every split level is a tuple covering 32 real
-        # lanes (2 members x 2 feats x 8 corners)
-        tabs = ps["field"]["tables"] if isinstance(ps["field"], dict) \
-            else ps["field"]
-        entry = tabs[0] if isinstance(tabs, (list, tuple)) else tabs
-        assert isinstance(entry, tuple)
-        assert sum(t.shape[-1] for t in entry) == 32
+        # force real 2-way splits through the fused render (the TPU-scale
+        # auto case) with a tiny max_bytes on the main field
+        f = ps["field"]
+        tabs = f["tables"] if isinstance(f, dict) else f
+        n_lvl = len(tabs) if isinstance(tabs, list) else tabs.shape[0]
+        t0 = tabs[0]
+        half = t0.shape[-2] * 32 * t0.dtype.itemsize / 2  # -> 2 parts
+        ps = dict(ps, field=split_packed_tables(
+            f, n_lvl, real_lanes=32, max_bytes=half))
+        entry = ps["field"]["tables"][0]
+        assert isinstance(entry, tuple) and len(entry) == 2
+        assert sum(t.shape[-1] for t in entry) == 32  # pad dropped on split
         a = render(stacked, p, rb)
         b = render(stacked, ps, rb)
         np.testing.assert_allclose(
@@ -433,8 +440,9 @@ def test_fused_render_table_split_exact(rng):
     packed = jax.random.normal(k, (2, 64, 128), jnp.float32)
     pos = jax.random.uniform(jax.random.PRNGKey(4), (40, 3))
     whole = packed_cell_lookup(packed, pos, [4, 8], 64, num_members=2)
-    sp = split_packed_tables(packed, 2, real_lanes=32, max_bytes=2048)
-    assert all(isinstance(t, tuple) and len(t) > 1
+    sp = split_packed_tables(packed, 2, real_lanes=32, max_bytes=2048,
+                             max_parts=4)
+    assert all(isinstance(t, tuple) and len(t) == 4
                for t in sp["tables"])
     parts = packed_cell_lookup(sp, pos, [4, 8], 64, num_members=2)
     np.testing.assert_allclose(np.asarray(whole), np.asarray(parts),

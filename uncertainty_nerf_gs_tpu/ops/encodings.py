@@ -474,6 +474,7 @@ def split_packed_tables(
     levels: int | None = None,
     real_lanes: int | None = None,
     max_bytes: float = 32.0e6,
+    max_parts: int = 2,
 ):
     """Lane-split each eval table into sub-tables of <= ``max_bytes``.
 
@@ -490,9 +491,16 @@ def split_packed_tables(
     un-padded width directly (`_lerp_matrices` at the concat width).
 
     Levels already at or under ``max_bytes`` (and already-split tuples)
-    pass through whole. Returns the {"tables", "scales"} dict form; split
-    levels are TUPLES of (rows, w_i) arrays (lists stay per-level
-    containers everywhere else).
+    pass through WHOLE — pad lanes kept: measured r5 (jobs 409/412),
+    single-part narrow-width gathers are pathological (pad-dropping the
+    already-fast 16.8 MB proposal tables cost the stride8 render 17%, and
+    bf16 split into 3 narrow parts halved throughput), so splitting only
+    pays when it moves a slow-mode (>= 42 MB) operand under the cliff in
+    at most ``max_parts`` non-narrow slices — exactly the 5-member int8
+    case (42 MB -> 2 x 21 MB: +25% on the exact render). Levels needing
+    more than ``max_parts`` parts also pass through whole. Returns the
+    {"tables", "scales"} dict form; split levels are TUPLES of
+    (rows, w_i) arrays (lists stay per-level containers everywhere else).
     """
     tables, scales = _unpack_quantized(packed)
     if not isinstance(tables, (list, tuple)):
@@ -509,12 +517,13 @@ def split_packed_tables(
         w = min(real_lanes, lanes) if real_lanes else lanes
         nbytes = rows * w * t.dtype.itemsize
         parts = max(1, -(-int(nbytes) // int(max_bytes)))
-        if parts == 1 and w == lanes:
-            out_tables.append(t)
+        if parts == 1 or parts > max_parts:
+            out_tables.append(t)  # whole, pad kept (see docstring)
             continue
         pw = -(-w // parts)
         pw = ((pw + 7) // 8) * 8  # 8-lane multiples
-        bounds = list(range(0, w, pw)) + [w]
+        bounds = list(range(0, w, pw))
+        bounds = bounds + [w] if bounds[-1] != w else bounds
         out_tables.append(
             tuple(t[:, a:b] for a, b in zip(bounds[:-1], bounds[1:]))
         )
