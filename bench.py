@@ -143,13 +143,16 @@ def _use_table_split(dtype_name: str, stride: float) -> bool:
         ev = json.loads(path.read_text())
     except (OSError, json.JSONDecodeError):
         return False
-    # measured pairs: {dtype}_exact and int8_stride8; other strides use the
-    # same-dtype exact verdict (split is orthogonal to striding)
-    key = f"{dtype_name}_stride8" if (dtype_name, stride) == ("int8", 8.0) \
-        else f"{dtype_name}_exact"
-    on, off = ev.get(f"{key}_split1"), ev.get(f"{key}_split0")
-    return (isinstance(on, (int, float)) and isinstance(off, (int, float))
-            and on > off)
+    # prefer the exact stride's measured pair; fall back to the same-dtype
+    # exact verdict (split is orthogonal to striding)
+    for key in (f"{dtype_name}_stride{int(stride)}" if stride else None,
+                f"{dtype_name}_exact"):
+        if key is None:
+            continue
+        on, off = ev.get(f"{key}_split1"), ev.get(f"{key}_split0")
+        if isinstance(on, (int, float)) and isinstance(off, (int, float)):
+            return on > off
+    return False
 
 
 def bench_ensemble_render() -> dict:

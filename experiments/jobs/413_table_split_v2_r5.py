@@ -100,14 +100,18 @@ results["_meta"]["bf16_exact_split1"] = "rule v2: pass-through (== split0)"
 del pk, f
 jax.clear_caches()
 
-for tag, stride in [
-    ("int8_exact_split1", 0.0),
-    ("int8_stride8_split1", 8.0),
-    ("int8_stride4_split1", 4.0),
+for tag, stride, split in [
+    ("int8_exact_split1", 0.0, True),
+    ("int8_stride8_split1", 8.0, True),
+    ("int8_stride4_split0", 4.0, False),
+    ("int8_stride4_split1", 4.0, True),
 ]:
     packed = pack_ensemble_tables(model, stacked, table_dtype=jnp.int8,
-                                  table_split=True)
-    n_split = sum(isinstance(t, tuple) for t in packed["field"]["tables"])
+                                  table_split=split)
+    tabs = packed["field"]["tables"]
+    n_split = sum(isinstance(t, tuple) for t in
+                  (tabs if isinstance(tabs, list) else
+                   [tabs[i] for i in range(len(tabs))]))
     print(f"{tag}: {n_split} split main levels", flush=True)
     render = build_fused_ensemble_render(model, main_stride_scale=stride)
     bench(render, packed, tag)
