@@ -80,6 +80,15 @@ class SplatfactoTrainer:
             None if self.points is None else jnp.asarray(self.points),
             None if self.point_colors is None else jnp.asarray(self.point_colors),
         )
+        if self.config.rasterize_capacity_auto:
+            self.config = sf.tune_rasterize_capacity(
+                self.config, self.params, self.splat_state.alive, self.cameras
+            )
+            print(
+                f"[auto-capacity] rasterize_capacity="
+                f"{self.config.rasterize_capacity} row_capacity="
+                f"{self.config.rasterize_row_capacity}"
+            )
         self.tx = make_splat_optimizer(self.params)
         self.opt_state = {k: self.tx[k].init(self.params[k]) for k in self.params}
         # camera tangents live outside the fixed-capacity gaussian buffer so
@@ -240,7 +249,47 @@ class SplatfactoTrainer:
                 self.params = sf.reset_opacities(self.params, cfg)
                 self._reset_moments(keys=("opacities",))
                 self._last_opacity_reset = self.step
+        # periodic capacity retune: densification grows per-tile counts; a
+        # bump recompiles the step once instead of silently truncating
+        if (
+            cfg.capacity_retune_every
+            and self.step % cfg.capacity_retune_every == 0
+        ):
+            self.retune_capacity()
         return {k: float(v) for k, v in losses.items()}
+
+    def retune_capacity(self) -> bool:
+        """Re-probe true per-tile/per-row maxima and, if the current budget
+        is exceeded, grow it (never shrink — shrinking churns compiles for
+        no quality win). Returns True when the step function was re-jitted."""
+        tuned = sf.tune_rasterize_capacity(
+            self.config, self.params, self.splat_state.alive, self.cameras
+        )
+        if (
+            tuned.rasterize_capacity <= self.config.rasterize_capacity
+            and (tuned.rasterize_row_capacity or 0)
+            <= (self.config.rasterize_row_capacity
+                or max(4 * self.config.rasterize_capacity, 1024))
+        ):
+            return False
+        self.config = dataclasses.replace(
+            self.config,
+            rasterize_capacity=max(
+                tuned.rasterize_capacity, self.config.rasterize_capacity
+            ),
+            rasterize_row_capacity=max(
+                tuned.rasterize_row_capacity or 0,
+                self.config.rasterize_row_capacity
+                or max(4 * self.config.rasterize_capacity, 1024),
+            ),
+        )
+        print(
+            f"[auto-capacity] step {self.step}: grew rasterize_capacity="
+            f"{self.config.rasterize_capacity} row_capacity="
+            f"{self.config.rasterize_row_capacity}"
+        )
+        self._step_fn = jax.jit(self._step_impl)
+        return True
 
     def _reset_moments(self, keys: tuple[str, ...]) -> None:
         """Reinitialize the named groups' Adam states (splatfacto resets the

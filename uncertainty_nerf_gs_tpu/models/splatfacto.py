@@ -44,7 +44,10 @@ from uncertainty_nerf_gs_tpu.ops.gaussians import (
     project_gaussians,
     quat_to_rotmat,
 )
-from uncertainty_nerf_gs_tpu.ops.rasterize import rasterize_gaussians
+from uncertainty_nerf_gs_tpu.ops.rasterize import (
+    rasterize_gaussians,
+    tile_hit_counts,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -86,6 +89,22 @@ class SplatfactoConfig:
     # drops at BOTH levels; raise this to drive row-level drops to zero
     # (evidence/raster_truncation_r5.json quantifies the quality cost).
     rasterize_row_capacity: int | None = None
+    # capacity auto-tuning (no reference counterpart: gsplat's per-tile
+    # intersection buffers grow dynamically; our static shapes need a
+    # budget). When True, `tune_rasterize_capacity` (called by the trainer
+    # at start, or manually) replaces rasterize_capacity/row_capacity with
+    # margin-padded TRUE per-tile/per-row maxima measured on probe cameras
+    # (exact counts via ops/rasterize.tile_hit_counts), clamped to
+    # rasterize_capacity_max. The 16k-soak checkpoint still overflowed at
+    # cap 4096 (evidence/raster_truncation_r5.json) — auto-tuning makes the
+    # truncation budget per-scene instead of a global guess.
+    rasterize_capacity_auto: bool = False
+    rasterize_capacity_max: int = 4096
+    rasterize_capacity_margin: float = 1.25
+    # re-probe cadence during training (0 = off): densification grows
+    # per-tile counts over time; a retune recompiles the step (~once per
+    # bump) instead of silently truncating
+    capacity_retune_every: int = 0
     # tile compaction: "matmul" (one-hot MXU matmul, no index buffers) or
     # "gather" (scatter compaction + row gather) — identical outputs;
     # evidence/raster_pack_ab_r5.json holds the timings
@@ -247,6 +266,87 @@ def active_sh_degree(step: jax.Array, config: SplatfactoConfig) -> jax.Array:
     return jnp.minimum(
         step // config.sh_degree_interval, config.sh_degree
     ).astype(jnp.int32)
+
+
+def probe_tile_counts(
+    params: dict[str, jax.Array],
+    alive: jax.Array,
+    c2w: jax.Array,
+    fx: float,
+    fy: float,
+    cx: float,
+    cy: float,
+    width: int,
+    height: int,
+    config: SplatfactoConfig,
+):
+    """Exact per-tile / per-row intersection counts of one camera (the same
+    projection prelude as `render_splat`, then `ops.rasterize.
+    tile_hit_counts`). Used by `tune_rasterize_capacity`."""
+    viewmat = opengl_to_viewmat(c2w)
+    proj = project_gaussians(
+        params["means"],
+        jnp.exp(params["scales"]),
+        params["quats"],
+        viewmat,
+        fx, fy, cx, cy, width, height,
+        near=config.near_plane,
+    )
+    proj = proj._replace(valid=proj.valid & alive)
+    return tile_hit_counts(proj, width, height)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((int(x) + m - 1) // m) * m
+
+
+def tune_rasterize_capacity(
+    config: SplatfactoConfig,
+    params: dict[str, jax.Array],
+    alive: jax.Array,
+    cameras,
+    max_probes: int = 8,
+) -> SplatfactoConfig:
+    """Replace ``rasterize_capacity`` / ``rasterize_row_capacity`` with
+    margin-padded TRUE maxima measured over up to ``max_probes`` evenly
+    spaced cameras (exact counts — overflow at the probed cameras is zero
+    by construction unless ``rasterize_capacity_max`` clamps).
+
+    The reference never needs this: gsplat's CUDA rasterizer allocates its
+    per-tile intersection lists dynamically per frame
+    (`activesplatfacto_model.py:260-273`); our static-shape design trades
+    that for a per-scene probed budget."""
+    import numpy as np
+
+    n_cams = len(cameras)
+    idxs = sorted(
+        {int(i) for i in np.linspace(0, n_cams - 1, min(max_probes, n_cams))}
+    )
+
+    @jax.jit
+    def probe(cam):
+        counts = probe_tile_counts(
+            params, alive, cam.camera_to_worlds, cam.fx, cam.fy, cam.cx,
+            cam.cy, cameras.width, cameras.height, config,
+        )
+        return jnp.max(counts.tile), jnp.max(counts.row)
+
+    max_tile = max_row = 0
+    for i in idxs:
+        t, r = probe(jax.tree.map(lambda x: x[i], cameras))
+        max_tile = max(max_tile, int(t))
+        max_row = max(max_row, int(r))
+    m = config.rasterize_capacity_margin
+    cap = min(
+        max(_round_up(max_tile * m, 64), 64), config.rasterize_capacity_max
+    )
+    row_cap = min(
+        max(_round_up(max_row * m, 128), 4 * cap, 1024),
+        int(params["means"].shape[0]),
+    )
+    return dataclasses.replace(
+        config, rasterize_capacity=cap, rasterize_row_capacity=row_cap
+    )
 
 
 def render_splat(

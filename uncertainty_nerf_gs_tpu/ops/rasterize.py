@@ -130,6 +130,65 @@ def composite_tiles_mm(
     )[:t]
 
 
+class TileCounts(NamedTuple):
+    """Exact intersection counts for capacity auto-tuning: per-tile hit
+    counts (sizes ``capacity``) and per-tile-ROW hit counts (sizes
+    ``row_capacity`` — the two-level cull's first stage)."""
+
+    tile: jax.Array  # (num_ty, num_tx) int32
+    row: jax.Array  # (num_ty,) int32
+
+
+def tile_hit_counts(proj: Projection, width: int, height: int) -> TileCounts:
+    """Exact per-tile / per-tile-row intersecting-Gaussian counts.
+
+    Same bbox predicate as the selection passes (``row_select`` /
+    ``select_fn``): tile ``t`` on an axis hits iff ``mean + r >= t*TILE``
+    and ``mean - r <= (t+1)*TILE`` (ties inclusive). Instead of the O(T*N)
+    scan, each Gaussian scatters ±1 corners of its tile rectangle into a
+    2-D difference array; a double cumsum yields every tile's count in
+    O(N + T). Cheap enough to run as a probe at train start — this is what
+    `models/splatfacto.tune_rasterize_capacity` uses to pick overflow-free
+    capacities (the reference's gsplat buffers grow dynamically,
+    `activesplatfacto_model.py:260-273`, so it never needs this; our
+    fixed-capacity design does)."""
+    num_tx = _pad_to_multiple(width, TILE) // TILE
+    num_ty = _pad_to_multiple(height, TILE) // TILE
+    r = proj.radii
+
+    def axis_range(v: jax.Array) -> tuple[jax.Array, jax.Array]:
+        # t*T <= v+r  and  (t+1)*T >= v-r  =>  t in [ceil((v-r)/T - 1),
+        # floor((v+r)/T)], both ends inclusive on exact ties like the
+        # selection's >= / <= comparisons
+        t_lo = jnp.ceil((v - r) / TILE - 1.0).astype(jnp.int32)
+        t_hi = jnp.floor((v + r) / TILE).astype(jnp.int32)
+        return t_lo, t_hi
+
+    x_lo, x_hi = axis_range(proj.means2d[:, 0])
+    y_lo, y_hi = axis_range(proj.means2d[:, 1])
+    in_y = proj.valid & (y_hi >= 0) & (y_lo <= num_ty - 1)
+    live = in_y & (x_hi >= 0) & (x_lo <= num_tx - 1)
+    x0 = jnp.clip(x_lo, 0, num_tx - 1)
+    x1 = jnp.clip(x_hi, 0, num_tx - 1)
+    y0 = jnp.clip(y_lo, 0, num_ty - 1)
+    y1 = jnp.clip(y_hi, 0, num_ty - 1)
+    one = live.astype(jnp.int32)
+    diff = jnp.zeros((num_ty + 1, num_tx + 1), jnp.int32)
+    diff = diff.at[y0, x0].add(one)
+    diff = diff.at[y0, x1 + 1].add(-one)
+    diff = diff.at[y1 + 1, x0].add(-one)
+    diff = diff.at[y1 + 1, x1 + 1].add(one)
+    tile = jnp.cumsum(jnp.cumsum(diff, axis=0), axis=1)[:num_ty, :num_tx]
+    # row-level counts: row_select tests ONLY the y overlap (no x cull), so
+    # the row predicate is `valid & y-overlap` regardless of screen x
+    one_r = in_y.astype(jnp.int32)
+    rdiff = jnp.zeros((num_ty + 1,), jnp.int32)
+    rdiff = rdiff.at[y0].add(one_r)
+    rdiff = rdiff.at[y1 + 1].add(-one_r)
+    row = jnp.cumsum(rdiff)[:num_ty]
+    return TileCounts(tile=tile, row=row)
+
+
 class SelectPack(NamedTuple):
     """Materialized per-tile selection+pack (the pallas/matmul backends'
     input): packed (T_pad, K, 6+C) depth-sorted rows, pix (T_pad, P, 2)
