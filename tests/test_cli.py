@@ -116,6 +116,15 @@ def test_train_eval_splatfacto(tiny_blender, tmp_path):
     assert "raster_overflow_max" in res
     assert res["raster_overflow_max"] >= 0.0
 
+    # --raster-capacity auto probes TRUE per-tile maxima on the eval
+    # cameras (tune_rasterize_capacity): overflow-free by construction
+    out = eval_main([
+        "--load-config", str(out_dir),
+        "--output-path", str(tmp_path / "m_auto.json"),
+        "--raster-capacity", "auto",
+    ])
+    assert out["results"]["raster_overflow_max"] == 0.0
+
 
 def test_checkpoint_roundtrip(tmp_path):
     import jax.numpy as jnp

@@ -251,6 +251,42 @@ def build_chunk_render_fn(trainer, spec, run_dir: Path,
     return chunk_fn
 
 
+def _apply_raster_capacity(trainers, spec, cameras, setting) -> None:
+    """Override / auto-tune splat eval rasterize capacity in place.
+
+    ``setting``: None (keep the run config), an int, or "auto" — probe the
+    TRUE per-tile/per-row intersection maxima on the eval cameras
+    (`models/splatfacto.tune_rasterize_capacity`) so the eval renders
+    overflow-free (the 16k-soak checkpoint overflows its train-time
+    capacity, evidence/raster_truncation_r5.json). For ensembles the
+    stacked render shares one config, so the max across members wins."""
+    if setting is None or spec.family != "splatfacto":
+        return
+    import dataclasses as _dc
+
+    from uncertainty_nerf_gs_tpu.models import splatfacto as _sf
+
+    if setting == "auto":
+        cap = row = 0
+        for t in trainers:
+            tuned = _sf.tune_rasterize_capacity(
+                t.config, t.params, t.splat_state.alive, cameras
+            )
+            cap = max(cap, tuned.rasterize_capacity)
+            row = max(row, tuned.rasterize_row_capacity or 0)
+        new = dict(rasterize_capacity=cap, rasterize_row_capacity=row)
+    else:
+        new = dict(
+            rasterize_capacity=int(setting), rasterize_row_capacity=None
+        )
+    for t in trainers:
+        t.config = _dc.replace(t.config, **new)
+    print(
+        f"[eval raster-capacity] capacity={trainers[0].config.rasterize_capacity}"
+        f" row_capacity={trainers[0].config.rasterize_row_capacity}"
+    )
+
+
 def build_ensemble_render_fn(
     run_dirs: list[Path],
     seed: int = 0,
@@ -259,6 +295,7 @@ def build_ensemble_render_fn(
     table_fold: int = 1,
     ensemble_mode: str = "fused",
     table_split: bool = False,
+    raster_capacity=None,
 ):
     """Eval-time deep ensemble: load M runs, stack params, vmapped fan-out +
     epi/alea combination (`ensemble_pipeline.py:144-191`).
@@ -278,6 +315,9 @@ def build_ensemble_render_fn(
     eval_outputs, eval_images = _eval_cameras_and_images(run_cfg)
 
     if spec.family == "splatfacto":
+        _apply_raster_capacity(
+            trainers, spec, eval_outputs.cameras, raster_capacity
+        )
         render_cam = build_ensemble_splat_render_cam(
             trainers, eval_outputs.cameras.width, eval_outputs.cameras.height
         )
@@ -426,6 +466,13 @@ def main(argv: list[str] | None = None) -> dict:
                          "coarse grid levels at strided ray anchors "
                          "(0 = exact; ~4 trades <0.1 dB for ~13%% throughput"
                          " — validate per scene)")
+    ap.add_argument("--raster-capacity", default=None,
+                    help="splat eval rasterize capacity: an integer "
+                         "override, or 'auto' to probe overflow-free "
+                         "per-tile maxima on the eval cameras "
+                         "(tune_rasterize_capacity; checkpoints trained at "
+                         "a smaller capacity can otherwise truncate — "
+                         "evidence/raster_truncation_r5.json)")
     ap.add_argument("--ensemble-mode", default="fused",
                     choices=("fused", "per-member"),
                     help="'fused' shares one proposal chain (member-mean "
@@ -468,12 +515,16 @@ def main(argv: list[str] | None = None) -> dict:
             table_fold=args.table_fold,
             ensemble_mode=args.ensemble_mode,
             table_split=args.table_split,
+            raster_capacity=args.raster_capacity,
         )
         method_name = "ensemble"
         ckpt = ";".join(str(latest_checkpoint(d)) for d in run_dirs)
     else:
         trainer, spec, run_cfg, step = _load_run(run_dirs[0])
         eval_outputs, eval_images = _eval_cameras_and_images(run_cfg)
+        _apply_raster_capacity(
+            [trainer], spec, eval_outputs.cameras, args.raster_capacity
+        )
         render_fn = build_render_fn(
             trainer, spec, eval_outputs.cameras, run_dirs[0],
             args.mc_samples, args.laplace_iters, args.laplace_samples,
