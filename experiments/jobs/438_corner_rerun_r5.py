@@ -74,4 +74,4 @@ for layout, seed in RUNS:
     import jax
     jax.clear_caches()
 
-print("JOB_445_DONE", flush=True)
+print("JOB_438_DONE", flush=True)
