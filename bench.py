@@ -81,7 +81,7 @@ _VARIANTS = (
 )
 
 
-def _gate_passing() -> tuple[set, str]:
+def _gate_passing(base=None) -> tuple[set, str]:
     """(variant names whose committed quality gate PASSES, evidence file).
 
     Prefers the r5 gate (the full driver parity metric: RGB+depth
@@ -91,35 +91,42 @@ def _gate_passing() -> tuple[set, str]:
     to the exact render when no gate evidence exists."""
     import pathlib
 
+    base = pathlib.Path(base) if base else pathlib.Path(__file__).parent
     for fname in (
         "evidence/int8_stride_quality_r5.json",
         "evidence/int8_stride_quality_r4.json",
     ):
-        path = pathlib.Path(__file__).parent / fname
+        path = base / fname
         try:
             ev = json.loads(path.read_text())
         except (OSError, json.JSONDecodeError):
             continue
-        passing = {
-            k for k, v in ev.items()
-            if isinstance(v, dict) and v.get("passes") is True
-        }
+        rows = {k: v for k, v in ev.items()
+                if isinstance(v, dict) and "passes" in v}
+        passing = {k for k, v in rows.items() if v.get("passes") is True}
         if fname.endswith("_r4.json"):
             # the r4 gate's baseline was the fused exact render itself
             passing |= {"bf16_exact"}
-        if passing:
-            return passing, fname
+            if not passing:
+                continue
+        elif not rows:
+            continue
+        # the r5 gate, once its variant rows exist, is AUTHORITATIVE: an
+        # all-fail outcome must demote the headline to the exact fallback,
+        # not silently regress to the weaker r4 criterion
+        return passing, fname
     return {"bf16_exact"}, "none (exact fallback)"
 
 
-def _best_fold(dtype_name: str) -> int:
+def _best_fold(dtype_name: str, base=None) -> int:
     """Best measured table fold for a dtype (committed evidence; fold is an
     EXACT addressing change — tests assert bitwise-close equality — so it
     needs no quality gate, only a throughput measurement:
     evidence/fold_incontext_r4.json, experiments/jobs/324)."""
     import pathlib
 
-    path = pathlib.Path(__file__).parent / "evidence/fold_incontext_r4.json"
+    base = pathlib.Path(base) if base else pathlib.Path(__file__).parent
+    path = base / "evidence/fold_incontext_r4.json"
     try:
         ev = json.loads(path.read_text())
     except (OSError, json.JSONDecodeError):
@@ -132,13 +139,14 @@ def _best_fold(dtype_name: str) -> int:
     return best
 
 
-def _use_table_split(dtype_name: str, stride: float) -> bool:
+def _use_table_split(dtype_name: str, stride: float, base=None) -> bool:
     """Adopt the lane-split (EXACT addressing change, oracle-tested like
     fold) mechanically from committed throughput evidence
     (evidence/table_split_incontext_r5.json, experiments/jobs/412)."""
     import pathlib
 
-    path = pathlib.Path(__file__).parent / "evidence/table_split_incontext_r5.json"
+    base = pathlib.Path(base) if base else pathlib.Path(__file__).parent
+    path = base / "evidence/table_split_incontext_r5.json"
     try:
         ev = json.loads(path.read_text())
     except (OSError, json.JSONDecodeError):
@@ -245,6 +253,10 @@ def bench_ensemble_render() -> dict:
             "table_fold": head_fold,
             "table_split": head_split,
             "quality_gate": gate_file,
+            # False only when every variant (incl. fused bf16 exact) failed
+            # the committed gate — the headline is then the exact-table
+            # fallback and this flag keeps that demotion visible
+            "gate_passed": head_name in passing,
         },
     ]
     if fast_name != head_name:
