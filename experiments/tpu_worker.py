@@ -116,9 +116,30 @@ def _release_device_memory(job_globals: dict) -> None:
         print(f"[worker] cleanup error (continuing): {e}", flush=True)
 
 
+def _tunnel_up() -> bool:
+    """True iff the axon relay is listening (r5: the relay process died
+    mid-round and every queued TPU job either hung forever or burned into
+    failed/ with Connection-refused — gate the queue on a cheap TCP probe
+    instead)."""
+    import socket
+
+    try:
+        with socket.create_connection(("127.0.0.1", 8083), timeout=2):
+            return True
+    except OSError:
+        return False
+
+
 def main() -> None:
     for d in (QUEUE, DONE, FAILED, LOGS):
         d.mkdir(parents=True, exist_ok=True)
+    waited = 0
+    while not _tunnel_up():
+        if waited % 600 == 0:
+            print(f"[worker] axon relay not listening on :8083 — waiting "
+                  f"({waited // 60} min)", flush=True)
+        time.sleep(30)
+        waited += 30
     # warm the runtime once so the first job doesn't pay tunnel setup
     import jax
     import jax.numpy as jnp
@@ -133,6 +154,10 @@ def main() -> None:
             print("[worker] STOP — exiting", flush=True)
             return
         jobs = sorted(QUEUE.glob("*.py"))
+        if jobs and not _tunnel_up():
+            print("[worker] tunnel down — holding queue", flush=True)
+            time.sleep(30)
+            continue
         if jobs:
             run_job(jobs[0])
         else:
