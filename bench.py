@@ -370,13 +370,73 @@ def _probe_device(timeout_sec: int = 600) -> bool:
     return bool(ok and ok[0])
 
 
+def _committed_evidence_lines() -> list:
+    """Tunnel-down fallback: the round's committed in-context TPU
+    measurements of the same programs, clearly labeled as evidence (never
+    presented as a live run). The axon relay died mid-round on the final
+    evidence night (r5) — a live-bench infra death must not erase the
+    round's measured perf story, but it must also never masquerade as a
+    fresh measurement, hence the `_committed_evidence` metric suffix and
+    per-line source."""
+    import pathlib
+
+    base = pathlib.Path(__file__).parent
+    lines = []
+    passing, gate_file = _gate_passing()
+    head = next((v for v in _VARIANTS if v[0] in passing), _VARIANTS[-1])
+    name, dtype, stride = head
+    split = _use_table_split(dtype, stride)
+    rate = None
+    try:
+        ev = json.loads(
+            (base / "evidence/table_split_incontext_r5.json").read_text())
+        rate = ev.get(f"{name}_split{int(split)}")
+        src = "evidence/table_split_incontext_r5.json (TPU in-context, job 413)"
+    except (OSError, json.JSONDecodeError):
+        pass
+    if not isinstance(rate, (int, float)):
+        try:
+            ev = json.loads(
+                (base / "evidence/bench_variants_r4.json").read_text())
+            rate = ev["results"][name]["rays_per_sec"]
+            src = "evidence/bench_variants_r4.json (TPU in-context, job 366)"
+        except (OSError, KeyError, json.JSONDecodeError):
+            rate = None
+    if isinstance(rate, (int, float)):
+        lines.append({
+            "metric": "ensemble5_mean_var_render_throughput_committed_evidence",
+            "value": round(rate, 1), "unit": "rays/sec",
+            "vs_baseline": round(rate / REFERENCE_ENSEMBLE_RAYS_PER_SEC, 3),
+            "config": name, "table_split": split,
+            "quality_gate": gate_file, "gate_passed": name in passing,
+            "source": src,
+        })
+    try:
+        ev = json.loads(
+            (base / "evidence/raster_pack_ab_r5.json").read_text())
+        ms = ev["bench_anchor_gather"]
+        lines.append({
+            "metric": "splat_rasterize_fwd_bwd_640x480_65k_committed_evidence",
+            "value": ms, "unit": "ms/frame",
+            "vs_baseline": round(4.0 / ms, 3),
+            "source": "evidence/raster_pack_ab_r5.json (TPU clean anchor, job 408)",
+        })
+    except (OSError, KeyError, json.JSONDecodeError, TypeError):
+        pass
+    return lines
+
+
 def main() -> None:
     if not _probe_device():
         print(json.dumps({
             "metric": "ensemble5_mean_var_render_throughput",
             "value": None, "unit": "rays/sec", "vs_baseline": None,
-            "error": "device unreachable (axon tunnel down) — probe timed out",
+            "error": "device unreachable (axon tunnel down) — probe timed out"
+                     "; *_committed_evidence lines below are the round's "
+                     "committed TPU measurements of the same programs",
         }))
+        for line in _committed_evidence_lines():
+            print(json.dumps(line))
         return
     for line in bench_ensemble_render():
         print(json.dumps(line))
