@@ -135,6 +135,9 @@ class NerfactoTrainer:
                 raise ValueError("masks exclude every pixel")
             self._valid_coords = jnp.asarray(valid, jnp.int32)
         self._train_step = jax.jit(self._train_step_impl)
+        # jitted multi-step launches keyed on (scan length, rays/batch) —
+        # see _multi_step_fn
+        self._multi_step_cache: dict[tuple[int, int], Any] = {}
 
     # --------------------------------------------------------------- resume
     def restore(self, ckpt: dict) -> None:
@@ -219,6 +222,35 @@ class NerfactoTrainer:
         losses["total_loss"] = total
         return new_state, losses
 
+    def _multi_step_fn(self, length: int, num_rays: int):
+        """Jitted `lax.scan` over ``length`` train steps — ONE device launch.
+
+        Per-step host dispatch dominates wall time on remote-attached chips
+        (measured 377 ms/step vs ~80 ms of compute over the axon tunnel);
+        batching K steps into one launch amortizes it. The scan body carries
+        the PRNG key through the SAME ``split(key, 3)`` sequence as the
+        per-step loop, so results are bit-identical to ``steps_per_launch=1``
+        (tested: tests/test_trainer_multistep.py).
+        """
+        cache_key = (length, num_rays)
+        if cache_key not in self._multi_step_cache:
+
+            def impl(state: TrainState, key: jax.Array):
+                def body(carry, _):
+                    st, k = carry
+                    k, k_batch, k_step = jax.random.split(k, 3)
+                    batch = self.sample_batch(k_batch, num_rays)
+                    st, losses = self._train_step_impl(st, batch, k_step)
+                    return (st, k), losses
+
+                (state, key), stacked = jax.lax.scan(
+                    body, (state, key), length=length
+                )
+                return state, key, stacked
+
+            self._multi_step_cache[cache_key] = jax.jit(impl)
+        return self._multi_step_cache[cache_key]
+
     def train(
         self,
         num_steps: int,
@@ -226,9 +258,37 @@ class NerfactoTrainer:
         log_every: int = 0,
         callback: Callable[[int, dict], None] | None = None,
         writer=None,
+        steps_per_launch: int = 1,
     ) -> dict[str, float]:
         key = jax.random.PRNGKey(self.seed + 1)
         losses = {}
+        if steps_per_launch > 1:
+            i = 0
+            while i < num_steps:
+                length = min(steps_per_launch, num_steps - i)
+                fn = self._multi_step_fn(length, num_rays_per_batch)
+                self.state, key, stacked = fn(self.state, key)
+                stacked = {k: np.asarray(v) for k, v in stacked.items()}
+                base_step = int(self.state.step) - length
+                for j in range(length):
+                    losses = {k: v[j] for k, v in stacked.items()}
+                    if writer is not None and (
+                        (i + j) % 10 == 0 or i + j == num_steps - 1
+                    ):
+                        writer.write(
+                            base_step + j + 1,
+                            {k: float(v) for k, v in losses.items()},
+                        )
+                    if log_every and (i + j + 1) % log_every == 0:
+                        msg = {k: float(v) for k, v in losses.items()}
+                        print(
+                            f"step {i + j + 1}: "
+                            + ", ".join(f"{k}={v:.4f}" for k, v in msg.items())
+                        )
+                    if callback is not None:
+                        callback(i + j, losses)
+                i += length
+            return {k: float(v) for k, v in losses.items()}
         for i in range(num_steps):
             key, k_batch, k_step = jax.random.split(key, 3)
             batch = self.sample_batch(k_batch, num_rays_per_batch)

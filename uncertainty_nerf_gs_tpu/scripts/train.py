@@ -122,6 +122,14 @@ def main(argv: list[str] | None = None) -> Path:
                     choices=["default", "on", "off"],
                     help="override the method's camera-optimizer setting")
     ap.add_argument("--log-every", type=int, default=500)
+    ap.add_argument("--steps-per-launch", type=int, default=50,
+                    help="nerfacto-family: train steps fused into one "
+                         "jitted lax.scan launch (amortizes per-step host "
+                         "dispatch, which dominates on remote-attached "
+                         "chips); 1 = the per-step loop. Bit-identical "
+                         "results either way (RNG key carried through the "
+                         "scan). Splat training refines between launches "
+                         "and ignores this.")
     ap.add_argument("--viewer-port", type=int, default=0,
                     help="serve the live training viewer on this port "
                          "(reference `vis=\"viewer\"` during training, "
@@ -215,6 +223,7 @@ def main(argv: list[str] | None = None) -> Path:
             losses = trainer.train(
                 n, num_rays_per_batch=spec.num_rays_per_batch,
                 log_every=args.log_every, writer=writer,
+                steps_per_launch=max(1, args.steps_per_launch),
             )
         done += n
         save_checkpoint(out_dir, done, _trainer_state(trainer))
