@@ -45,6 +45,25 @@ def test_multistep_matches_per_step_loop():
         np.testing.assert_allclose(losses1[k], losses2[k], rtol=0, atol=0)
 
 
+def test_gradient_checkpointing_matches_plain_backward():
+    """Remat (jax.checkpoint on the model forward) must change memory, not
+    math: one train step with and without it produces identical params."""
+    cams, images, _ = make_dataset(4, 24, 24)
+    cfg = NerfactoConfig(num_images=4, **TINY)
+    t_plain = NerfactoTrainer(cfg, cams, images, seed=5)
+    t_remat = NerfactoTrainer(
+        cfg, cams, images, seed=5, gradient_checkpointing=True
+    )
+    t_plain.train(2, num_rays_per_batch=128)
+    t_remat.train(2, num_rays_per_batch=128)
+    leaves_p = jax.tree.leaves(t_plain.state.params)
+    leaves_r = jax.tree.leaves(t_remat.state.params)
+    for lp, lr in zip(leaves_p, leaves_r):
+        np.testing.assert_allclose(
+            np.asarray(lp), np.asarray(lr), rtol=0, atol=1e-6
+        )
+
+
 def test_multistep_writer_and_callback_cadence():
     records = []
 

@@ -102,6 +102,12 @@ class NerfactoTrainer:
     # (N, H, W) bool; True = trainable pixel (nerfstudio mask semantics:
     # the pixel sampler only draws nonzero-mask pixels). None = all pixels.
     masks: np.ndarray | None = None
+    # Rematerialize the model forward in the backward pass
+    # (jax.checkpoint): trades FLOPs for HBM. Measured need: at reference
+    # scale the 16384-ray backward fails to COMPILE (XLA:TPU HBM OOM,
+    # 19.96 GB of 15.75 — evidence/step_profile_r5.json); remat makes
+    # large-batch training expressible on one chip.
+    gradient_checkpointing: bool = False
 
     def __post_init__(self):
         self.model = NerfactoModel(self.config)
@@ -193,15 +199,21 @@ class NerfactoTrainer:
         anneal = proposal_anneal_factor(step, self.config)
         k_model, k_dropout = jax.random.split(rng)
         model_params = {k: v for k, v in params.items() if k != "camera_opt"}
-        outputs = self.model.apply(
-            {"params": model_params},
-            rb,
-            train=True,
-            rngs_key=k_model,
-            proposal_anneal=anneal,
-            deterministic_dropout=self.config.dropout_rate == 0.0,
-            rngs={"dropout": k_dropout},
-        )
+
+        def apply_fn(mp, rb_, anneal_):
+            return self.model.apply(
+                {"params": mp},
+                rb_,
+                train=True,
+                rngs_key=k_model,
+                proposal_anneal=anneal_,
+                deterministic_dropout=self.config.dropout_rate == 0.0,
+                rngs={"dropout": k_dropout},
+            )
+
+        if self.gradient_checkpointing:
+            apply_fn = jax.checkpoint(apply_fn)
+        outputs = apply_fn(model_params, rb, anneal)
         total, losses = nerfacto_loss(outputs, batch, self.config)
         cfg = self.config
         if cfg.face_consistency_mult > 0.0 and cfg.grid_layout in ("cell", "hybrid"):

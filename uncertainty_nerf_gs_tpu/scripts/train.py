@@ -39,7 +39,8 @@ SPARSE_VIEW_DATAPARSERS = frozenset(
 def build_trainer(method_name: str, data: Path, dataparser: str,
                   seed: int = 0, parser_kwargs: dict | None = None,
                   config_overrides: dict | None = None,
-                  camera_opt: str = "default"):
+                  camera_opt: str = "default",
+                  grad_checkpoint: bool = False):
     """Resolve method + dataparser and construct the right trainer.
 
     camera_opt: "default" follows the method spec (reference parity:
@@ -95,6 +96,7 @@ def build_trainer(method_name: str, data: Path, dataparser: str,
             config=cfg, cameras=outputs.cameras, images=images, seed=seed,
             use_camera_optimizer=spec.use_camera_optimizer,
             masks=load_masks(outputs),
+            gradient_checkpointing=grad_checkpoint,
         )
     return trainer, spec, outputs
 
@@ -122,6 +124,11 @@ def main(argv: list[str] | None = None) -> Path:
                     choices=["default", "on", "off"],
                     help="override the method's camera-optimizer setting")
     ap.add_argument("--log-every", type=int, default=500)
+    ap.add_argument("--grad-checkpoint", action="store_true",
+                    help="nerfacto-family: rematerialize the model forward "
+                         "in the backward (jax.checkpoint) — trades FLOPs "
+                         "for HBM; required for >8k-ray batches at "
+                         "reference scale (evidence/step_profile_r5.json)")
     ap.add_argument("--steps-per-launch", type=int, default=50,
                     help="nerfacto-family: train steps fused into one "
                          "jitted lax.scan launch (amortizes per-step host "
@@ -157,6 +164,7 @@ def main(argv: list[str] | None = None) -> Path:
     trainer, spec, _ = build_trainer(
         args.method, args.data, args.dataparser, args.seed,
         args.parser_kwargs, args.overrides, camera_opt=args.camera_opt,
+        grad_checkpoint=args.grad_checkpoint,
     )
     out_dir = Path(args.output_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
