@@ -78,7 +78,9 @@ def summarize():
     return last, nonfinite
 
 
-for target in (15000, 18000, 21000, 24000, 27000, 30000):
+# bounded to two segments this session (session-end clock);
+# re-queue to continue toward 30000
+for target in (15000, 18000):
     steps = sorted(int(p.name[5:14]) for p in D.glob("step-*.ckpt"))
     if steps[-1] < target:
         print("resuming from", steps[-1], "target", target, flush=True)
