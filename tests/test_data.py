@@ -342,3 +342,63 @@ def test_fisheye_rays_equidistant_analytic():
     np.testing.assert_allclose(theta, 30.0 / f, atol=1e-6)
     assert d[0] > 0 and abs(d[1]) < 1e-7
     np.testing.assert_allclose(np.linalg.norm(d), 1.0, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# COLMAP-processed nerfstudio capture tree (real-capture surface)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def capture_tree(tmp_path_factory):
+    from uncertainty_nerf_gs_tpu.data.synthetic import write_nerfstudio_dataset
+
+    root = tmp_path_factory.mktemp("capture") / "a"
+    write_nerfstudio_dataset(root, num_frames=10, height=16, width=16)
+    return root
+
+
+def test_nerfstudio_capture_tree_parses(capture_tree):
+    """The ns-process-data-style tree (single transforms.json, images/ dir
+    with extensions, global OPENCV distortion + per-frame focal overrides,
+    binary PLY seeds) drives the full parse_nerfstudio surface the Blender
+    trees never touch (`robustnerf_dataparser.py:98-158`)."""
+    out = dp.parse_nerfstudio(capture_tree, "train")
+    ev = dp.parse_nerfstudio(capture_tree, "test")
+    # nerfstudio fraction split: ceil(10 * 0.9) = 9 train / 1 eval
+    assert len(out.cameras) == 9 and len(ev.cameras) == 1
+    # global distortion made it onto every camera (k1, p1 slots)
+    d = np.asarray(out.cameras.distortion_params)
+    assert d.shape == (9, 6) and (d[:, 0] > 0).all() and (d[:, 4] > 0).all()
+    # per-frame fl_x overrides survive (all focals distinct)
+    assert len(np.unique(np.asarray(out.cameras.fx))) == 9
+    # auto_scale_poses: camera centers land in the unit ball
+    t = np.asarray(out.cameras.camera_to_worlds[:, :3, 3])
+    assert np.abs(t).max() <= 1.0 + 1e-5
+    # binary-PLY SfM seeds parsed, finite, colored from the spheres
+    pts = out.metadata["points3D_xyz"]
+    assert pts.shape == (240, 3) and np.isfinite(pts).all()
+    cols = out.metadata["points3D_rgb"]
+    assert cols.min() >= 0.0 and cols.max() <= 1.0 and len(np.unique(cols, axis=0)) == 3
+    # seeds lie inside the camera shell after the same orient/scale
+    assert np.linalg.norm(pts, axis=-1).max() < np.linalg.norm(t, axis=-1).max()
+
+
+def test_applied_transform_chaining_invariance(tmp_path, capture_tree):
+    """applied_transform chaining (`robustnerf_dataparser.py:379-386`):
+    a tree recording applied_transform A with PLY points stored in the
+    pre-applied (COLMAP) frame must parse to the SAME world points as a
+    tree with no applied_transform and the PLY already in world frame —
+    the chaining must exactly undo A."""
+    from uncertainty_nerf_gs_tpu.data.synthetic import write_nerfstudio_dataset
+
+    plain = write_nerfstudio_dataset(
+        tmp_path / "b", num_frames=10, height=16, width=16,
+        applied_transform=False,
+    )
+    oa = dp.parse_nerfstudio(capture_tree, "train")
+    ob = dp.parse_nerfstudio(plain, "train")
+    np.testing.assert_allclose(
+        oa.metadata["points3D_xyz"], ob.metadata["points3D_xyz"], atol=1e-5
+    )
+    assert oa.dataparser_scale == ob.dataparser_scale

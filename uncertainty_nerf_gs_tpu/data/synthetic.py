@@ -233,3 +233,132 @@ def write_blender_dataset(
         with open(root / f"transforms_{split}.json", "w") as f:
             json.dump({"camera_angle_x": camera_angle_x, "frames": frames}, f, indent=1)
     return root
+
+
+# The COLMAP->nerfstudio axis permutation ns-process-data records as
+# `applied_transform` (an involution: A @ A == I).
+_APPLIED_TRANSFORM = np.array(
+    [[0.0, 1.0, 0.0, 0.0], [1.0, 0.0, 0.0, 0.0], [0.0, 0.0, -1.0, 0.0]],
+    dtype=np.float64,
+)
+
+
+def write_nerfstudio_dataset(
+    root: Path | str,
+    num_frames: int = 10,
+    height: int = 24,
+    width: int = 24,
+    k1: float = 1e-3,
+    p1: float = 2e-4,
+    num_points: int = 240,
+    seed: int = 0,
+    applied_transform: bool = True,
+) -> Path:
+    """Write the scene as a COLMAP-processed nerfstudio capture tree.
+
+    Exercises the real-capture surface of `parse_nerfstudio`
+    (`data/dataparsers.py`) that the Blender trees never touch — the
+    layout `ns-process-data` emits and the reference consumes through
+    `nerfstudio_dataparser` (`robustnerf_dataparser.py:98-158,379-386`):
+
+    * one ``transforms.json`` with GLOBAL ``cx/cy/w/h`` + OPENCV
+      distortion (``k1``/``p1``) and PER-FRAME ``fl_x``/``fl_y``
+      overrides (per-frame intrinsics fall back to globals per key);
+    * images under ``images/frame_XXXXX.png`` (extension kept, unlike
+      Blender's extensionless ``file_path``);
+    * an ``applied_transform`` (the COLMAP axis permutation) plus a
+      ``binary_little_endian`` ``sparse_pc.ply`` of SfM seed points
+      stored in the PRE-applied (COLMAP) frame, so parsing must chain
+      applied_transform into the orientation transform to land them in
+      the oriented/scaled world.
+
+    GT images are rendered THROUGH the distortion model (generate_rays
+    undistorts), so train/eval on this tree is self-consistent. The
+    world-space seed points are saved as ``points_world.npy`` beside the
+    tree for transform-chaining oracle tests.
+    """
+    from PIL import Image
+
+    root = Path(root)
+    (root / "images").mkdir(parents=True, exist_ok=True)
+    base = hemisphere_cameras(num_frames, height, width)
+    # per-frame focal spread (COLMAP per-image intrinsics); distortion on
+    focal = float(base.fx[0])
+    fx = focal * (1.0 + 0.04 * np.arange(num_frames) / max(num_frames - 1, 1))
+    dist = np.tile(
+        np.array([[k1, 0.0, 0.0, 0.0, p1, 0.0]], np.float32), (num_frames, 1)
+    )
+    cams = base.replace(
+        fx=jnp.asarray(fx, jnp.float32),
+        fy=jnp.asarray(fx, jnp.float32),
+        distortion_params=jnp.asarray(dist),
+    )
+
+    frames = []
+    for i in range(num_frames):
+        rgb, _, _ = render_ground_truth(cams, i)
+        name = f"images/frame_{i:05d}.png"
+        Image.fromarray((rgb * 255).astype(np.uint8)).save(root / name)
+        c2w = np.asarray(cams.camera_to_worlds[i], np.float64)
+        mat = np.concatenate([c2w, [[0.0, 0.0, 0.0, 1.0]]], axis=0)
+        frames.append({
+            "file_path": name,
+            "transform_matrix": mat.tolist(),
+            "fl_x": float(fx[i]),
+            "fl_y": float(fx[i]),
+        })
+
+    # SfM seed points on the analytic sphere surfaces (world frame),
+    # stored in the PLY pre-applied: p_ply = A @ p_world (A involution)
+    rng = np.random.default_rng(seed)
+    per = num_points // len(_SPHERES)
+    pts_w, cols = [], []
+    for (cx_, cy_, cz_, r), col in zip(_SPHERES, _COLORS):
+        n = rng.normal(size=(per, 3))
+        n /= np.linalg.norm(n, axis=-1, keepdims=True)
+        pts_w.append(np.array([cx_, cy_, cz_]) + r * n)
+        cols.append(np.tile((col * 255).astype(np.uint8), (per, 1)))
+    pts_w = np.concatenate(pts_w).astype(np.float64)
+    cols = np.concatenate(cols)
+    np.save(root / "points_world.npy", pts_w.astype(np.float32))
+    if applied_transform:
+        a_h = np.concatenate(
+            [_APPLIED_TRANSFORM, [[0.0, 0.0, 0.0, 1.0]]], axis=0
+        )
+        pts_ply = (np.linalg.inv(a_h)[:3, :3] @ pts_w.T).T.astype(np.float32)
+    else:  # no applied_transform recorded: PLY already in world frame
+        pts_ply = pts_w.astype(np.float32)
+    dt = np.dtype([("x", "<f4"), ("y", "<f4"), ("z", "<f4"),
+                   ("red", "u1"), ("green", "u1"), ("blue", "u1")])
+    rec = np.empty(len(pts_ply), dtype=dt)
+    rec["x"], rec["y"], rec["z"] = pts_ply.T
+    rec["red"], rec["green"], rec["blue"] = cols.T
+    header = (
+        "ply\nformat binary_little_endian 1.0\n"
+        f"element vertex {len(rec)}\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        "property uchar red\nproperty uchar green\nproperty uchar blue\n"
+        "end_header\n"
+    )
+    with open(root / "sparse_pc.ply", "wb") as f:
+        f.write(header.encode("ascii"))
+        f.write(rec.tobytes())
+
+    meta = {
+        "camera_model": "OPENCV",
+        "cx": width / 2.0,
+        "cy": height / 2.0,
+        "w": width,
+        "h": height,
+        "k1": k1,
+        "k2": 0.0,
+        "p1": p1,
+        "p2": 0.0,
+        "ply_file_path": "sparse_pc.ply",
+        "frames": frames,
+    }
+    if applied_transform:
+        meta["applied_transform"] = _APPLIED_TRANSFORM.tolist()
+    with open(root / "transforms.json", "w") as f:
+        json.dump(meta, f, indent=1)
+    return root
